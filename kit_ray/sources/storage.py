@@ -1,0 +1,113 @@
+"""Lance-preferred, Parquet-fallback table IO + checkpoint manifests.
+
+The north rule stores image+caption rows in Lance tables. This Ray
+version (2.49.2) exposes ``read_lance``/``write_lance`` but the
+``pylance`` package is not installed in this container, so the seam
+prefers Lance when importable and falls back to Parquet with the
+identical Arrow schema (SURVEY §7). All call sites go through here —
+swapping the format is a one-line config change on a real cluster.
+
+Checkpoints: every stage output directory gets a ``lineage.json``
+manifest (stage name, config digest, row count, schema, wall time) —
+the per-partition lineage/metrics the resumability criterion requires.
+A checkpoint is valid iff its manifest exists and the config digest
+matches; resume = skip stages with valid checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+FORMAT = "lance" if lance_available() else "parquet"
+
+
+def write_dataset(ds, path: str, *, partition_cols=None):
+    """Write a ray.data.Dataset to ``path`` in the preferred format."""
+    if FORMAT == "lance":
+        ds.write_lance(path)  # pragma: no cover - no pylance in sandbox
+    else:
+        ds.write_parquet(path, partition_cols=partition_cols)
+
+
+def read_dataset(path: str):
+    import ray.data as rd
+
+    if FORMAT == "lance":
+        return rd.read_lance(path)  # pragma: no cover
+    return rd.read_parquet(path)
+
+
+def write_table(table: pa.Table, path: str):
+    """Driver-side small-table write (robots cache, order metadata)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)
+
+
+def read_table(path: str) -> pa.Table:
+    return pq.read_table(path)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint manifests
+# ---------------------------------------------------------------------------
+
+def manifest_path(dir_path: str) -> str:
+    # Leading underscore: pyarrow/Ray dataset readers treat the file as
+    # hidden, so the manifest can live inside the data directory.
+    return os.path.join(dir_path, "_lineage.json")
+
+
+def write_manifest(dir_path: str, *, stage: str, digest: str, rows: int,
+                   schema: list[str], started: float, extra: dict | None = None):
+    os.makedirs(dir_path, exist_ok=True)
+    m = {
+        "stage": stage,
+        "config_digest": digest,
+        "rows": rows,
+        "schema": schema,
+        "wall_time_s": round(time.time() - started, 3),
+        "completed_at": time.time(),
+    }
+    if extra:
+        m.update(extra)
+    tmp = manifest_path(dir_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, manifest_path(dir_path))  # atomic completion marker
+    return m
+
+
+def valid_checkpoint(dir_path: str, digest: str) -> dict | None:
+    """Return the manifest if ``dir_path`` holds a completed checkpoint
+    for this config, else None (stale/partial output is removed)."""
+    p = manifest_path(dir_path)
+    if not os.path.exists(p):
+        if os.path.isdir(dir_path):
+            shutil.rmtree(dir_path)  # partial output from a crashed run
+        return None
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        shutil.rmtree(dir_path)
+        return None
+    if m.get("config_digest") != digest:
+        shutil.rmtree(dir_path)
+        return None
+    return m

@@ -1,0 +1,242 @@
+"""Ray Data stages of the crawl pipeline — stateful map_batches actors.
+
+Each stage is a callable CLASS: construction cost (corpus config,
+policy compilation, broadcast lookup) is paid once per actor in
+``__init__``; ``__call__`` handles one Arrow/pandas batch. This is the
+actor-pool pattern the north rule mandates for stateful stages.
+
+Partitioning contract (SURVEY §4): robots fetch/parse and traversal are
+keyed by host (one host is processed by exactly one task — per-host
+traversal is sequential in the protocol, parallelism is ACROSS hosts);
+the gate/dedup stages are keyed by canonical-URL hash; politeness by
+the URL's own host.
+
+The small side (per-host policy cache) is broadcast once via
+``ray.put`` and read per actor in ``__init__`` — never re-shipped per
+batch. At the 10^10-URL design point (≫10^6 hosts) the broadcast is
+replaced by hash-partition co-location of entries with their
+``robots_cache`` shard (same ``hash(host)`` key both sides); the
+broadcast mode used here is correct to ~10^6 hosts (~200 MB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..functions.imagegen import stable_hash
+from ..kernels.robots import Robots
+from ..kernels.traverse import traverse_host
+from ..kernels.urlkit import canonical_url, try_parse
+from ..synth import USER_AGENT, CorpusConfig
+
+ENTRY_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("host_rank", pa.int64()),
+        ("stack_rank", pa.int32()),
+        ("pos", pa.int32()),
+        ("lastmod", pa.timestamp("us", tz="UTC")),
+        ("changefreq", pa.string()),
+        ("priority", pa.float32()),
+        ("source_sitemap", pa.string()),
+    ]
+)
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("bucket", pa.int32()),
+        ("tick", pa.float64()),
+        ("host_rank", pa.int64()),
+        ("stack_rank", pa.int32()),
+        ("pos", pa.int32()),
+    ]
+)
+
+
+def host_bucket(host: str, n_buckets: int) -> int:
+    """Stable host -> output-partition bucket (resume granularity)."""
+    return stable_hash("bucket", host) % n_buckets
+
+
+class RobotsFetchParse:
+    """(host, host_rank) -> robots_cache row.
+
+    Fetch outcome -> policy via ``Robots::from_access`` semantics
+    (exclusion/parse/mod.rs:144-151); the parsed policy is emitted in
+    the serde cache shape (exclusion/parse/serde.rs:14-31) so any later
+    stage can rehydrate it without reparsing robots bytes.
+    """
+
+    def __init__(self, cfg: CorpusConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        out = {k: [] for k in ("host", "host_rank", "always", "crawl_delay_s",
+                               "sitemaps", "policy_json")}
+        for host, rank in zip(
+            batch["host"].to_pylist(), batch["host_rank"].to_pylist()
+        ):
+            access = self.cfg.access(host)
+            blob = (
+                self.cfg.fetch(f"https://{host}/robots.txt")
+                if access == "successful"
+                else None
+            )
+            if blob is None and access == "successful":
+                access = "unavailable"
+            robots = Robots.from_access(access, blob, USER_AGENT)
+            cache = robots.to_cache()
+            out["host"].append(host)
+            out["host_rank"].append(rank)
+            out["always"].append(robots.is_always())
+            out["crawl_delay_s"].append(robots.crawl_delay())
+            out["sitemaps"].append([str(u) for u in robots.sitemaps()])
+            out["policy_json"].append(json.dumps(cache))
+        return pa.table(
+            {
+                "host": pa.array(out["host"], pa.string()),
+                "host_rank": pa.array(out["host_rank"], pa.int64()),
+                "always": pa.array(out["always"], pa.bool_()),
+                "crawl_delay_s": pa.array(out["crawl_delay_s"], pa.float64()),
+                "sitemaps": pa.array(out["sitemaps"], pa.list_(pa.string())),
+                "policy_json": pa.array(out["policy_json"], pa.string()),
+            }
+        )
+
+
+class HostTraverse:
+    """(host, host_rank, sitemaps) -> entry rows in reference traversal
+    order, tagged with the deterministic (stack_rank, pos) order key.
+
+    The LIFO drive loop (kernels/traverse.py == auto.rs:169-207) runs
+    inside the actor: per-host traversal is sequential by protocol, so
+    the scalable axis is hosts-per-pool, not parallelism within a host.
+    """
+
+    def __init__(self, cfg: CorpusConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in ENTRY_SCHEMA.names}
+        fetcher = lambda u: self.cfg.fetch(str(u))
+        for host, rank, sitemaps in zip(
+            batch["host"].to_pylist(),
+            batch["host_rank"].to_pylist(),
+            batch["sitemaps"].to_pylist(),
+        ):
+            urls = [try_parse(s) for s in (sitemaps or [])]
+            urls = [u for u in urls if u is not None]
+            for t in traverse_host(urls, fetcher):
+                e = t.entry
+                rows["url"].append(str(e.location))
+                rows["host"].append(e.location.host_port())
+                rows["host_rank"].append(rank)
+                rows["stack_rank"].append(t.stack_rank)
+                rows["pos"].append(t.pos)
+                rows["lastmod"].append(e.modified)
+                rows["changefreq"].append(e.frequency)
+                rows["priority"].append(e.priority)
+                rows["source_sitemap"].append(t.source_sitemap)
+        return pa.table(rows, schema=ENTRY_SCHEMA)
+
+
+class RobotsGate:
+    """Filter entries by the URL's OWN host policy; attach the canonical
+    URL-seen key and that host's crawl-delay.
+
+    The policy cache arrives as one broadcast object-store ref
+    (``ray.put`` once on the driver); each actor rehydrates into
+    compiled ``Robots`` lazily per host (LRU-ish dict — hosts per actor
+    are bounded by the hash partition width). Verdict core:
+    inner.rs:92-110 via kernels/robots.py.
+    """
+
+    def __init__(self, policies_ref):
+        import json
+
+        raw = ray.get(policies_ref)  # {host: policy_json}
+        self._raw = raw
+        self._json = json
+        self._compiled: dict[str, Robots | None] = {}
+
+    def _policy(self, host: str) -> Robots | None:
+        if host not in self._compiled:
+            j = self._raw.get(host)
+            self._compiled[host] = (
+                Robots.from_cache(self._json.loads(j)) if j is not None else None
+            )
+        return self._compiled[host]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        keep = np.zeros(len(urls), dtype=bool)
+        delays = np.zeros(len(urls), dtype=np.float64)
+        keys: list[str | None] = [None] * len(urls)
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            pol = self._policy(h)
+            if pol is None:
+                continue  # host outside the corpus: unfetchable
+            parsed = try_parse(u)
+            if parsed is None:
+                continue
+            if pol.is_absolute_allowed(parsed):
+                keep[i] = True
+                keys[i] = canonical_url(u)
+                d = pol.crawl_delay()
+                delays[i] = float(d) if d else 0.0
+        batch = batch.append_column("url_key", pa.array(keys, pa.string()))
+        batch = batch.append_column("crawl_delay_s", pa.array(delays))
+        return batch.filter(pa.array(keep))
+
+
+class PageFetch:
+    """(url rows) -> image+caption rows (input_hint schema).
+
+    Deterministic synthetic fetch: pixels/caption/phash are pure
+    functions of the URL (functions/imagegen.py). On a real cluster
+    this actor holds the HTTP client + per-host connection state; here
+    it holds the corpus config. Binary payloads are large — callers
+    must use a small ``batch_size``.
+    """
+
+    def __init__(self, cfg: CorpusConfig, n_buckets: int = 16):
+        self.cfg = cfg
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in IMAGE_SCHEMA.names}
+        for url, host, tick, host_rank, stack_rank, pos in zip(
+            batch["url"].to_pylist(),
+            batch["host"].to_pylist(),
+            batch["tick"].to_pylist(),
+            batch["host_rank"].to_pylist(),
+            batch["stack_rank"].to_pylist(),
+            batch["pos"].to_pylist(),
+        ):
+            img = self.cfg.page(url)
+            for k, v in img.items():
+                rows[k].append(v)
+            rows["url"].append(url)
+            rows["host"].append(host)
+            rows["bucket"].append(host_bucket(host, self.n_buckets))
+            rows["tick"].append(tick)
+            rows["host_rank"].append(host_rank)
+            rows["stack_rank"].append(stack_rank)
+            rows["pos"].append(pos)
+        return pa.table(rows, schema=IMAGE_SCHEMA)

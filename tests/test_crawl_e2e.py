@@ -1,0 +1,111 @@
+"""End-to-end: the distributed Ray crawl must bit-match the
+single-process reference oracle — crawl order, URL-seen set, politeness
+ticks, and every fetched image row (decoded pixels + caption + phash).
+Also pins checkpoint/resume: a partially-fetched run resumed later is
+identical to an uninterrupted run.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from kit_ray.functions.imagegen import decode_image, psnr
+from kit_ray.oracle import run_oracle
+from kit_ray.pipelines.crawl import crawl, storage_read_parquet_table
+from kit_ray.synth import CorpusConfig
+
+CFG = CorpusConfig(seed=7, n_hosts=14, pages_per_host=30)
+ORDER_KEYS = ["tick", "host_rank", "stack_rank", "pos"]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return run_oracle(CFG)
+
+
+@pytest.fixture(scope="module")
+def engine_out(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl"))
+    summary = crawl(CFG, out, concurrency=3, n_buckets=8)
+    assert summary["complete"]
+    return out
+
+
+def _engine_order(out):
+    t = storage_read_parquet_table(os.path.join(out, "crawl_order"))
+    df = t.to_pandas().sort_values(ORDER_KEYS, kind="stable").reset_index(drop=True)
+    return df
+
+
+def test_crawl_order_bit_match(engine_out, oracle):
+    df = _engine_order(engine_out)
+    oracle_rows = oracle.crawl_order
+    assert len(df) == len(oracle_rows)
+    got = list(zip(df["url"], df["tick"], df["host_rank"], df["stack_rank"], df["pos"]))
+    want = [
+        (r["url"], r["tick"], r["host_rank"], r["stack_rank"], r["pos"])
+        for r in oracle_rows
+    ]
+    assert got == want
+
+
+def test_url_seen_set_bit_match(engine_out, oracle):
+    df = _engine_order(engine_out)
+    assert set(df["url_key"]) == oracle.seen
+
+
+def test_images_bit_match(engine_out, oracle):
+    t = storage_read_parquet_table(os.path.join(engine_out, "images"))
+    eng = {r["url"]: r for r in t.to_pylist()}
+    assert len(eng) == len(oracle.images)
+    for ref in oracle.images:
+        row = eng[ref["url"]]
+        assert row["caption"] == ref["caption"]
+        assert row["phash"] == ref["phash"]
+        assert (row["w"], row["h"], row["fmt"]) == (ref["w"], ref["h"], ref["fmt"])
+        a = decode_image(row)
+        b = decode_image(ref)
+        # Lossless corpus: exact; (PSNR>=40dB is the lossy-format bound).
+        assert np.array_equal(a, b)
+        assert psnr(a, b) == float("inf")
+
+
+def test_resume_is_byte_identical(ray_session, tmp_path, oracle):
+    full = str(tmp_path / "full")
+    partial = str(tmp_path / "partial")
+
+    crawl(CFG, full, concurrency=3, n_buckets=8)
+
+    # Simulate a crash after half the buckets were fetched ...
+    s1 = crawl(CFG, partial, concurrency=3, n_buckets=8, only_buckets=[0, 1, 2, 3])
+    assert not s1["complete"]
+    # ... plus a partially-written bucket with no manifest (must be redone).
+    victim = os.path.join(partial, "images", "bucket=0")
+    if os.path.isdir(victim):
+        os.remove(os.path.join(victim, "_lineage.json"))
+
+    s2 = crawl(CFG, partial, concurrency=3, n_buckets=8)  # resume
+    assert s2["complete"]
+
+    ta = storage_read_parquet_table(os.path.join(full, "images"))
+    tb = storage_read_parquet_table(os.path.join(partial, "images"))
+    da = ta.to_pandas().sort_values("url").reset_index(drop=True)
+    db = tb.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(da.columns) == list(db.columns)
+    assert len(da) == len(db) == len(oracle.images)
+    for col in da.columns:
+        assert da[col].equals(db[col]), f"column {col} differs after resume"
+
+
+def test_stage_checkpoints_skip(ray_session, tmp_path):
+    out = str(tmp_path / "skip")
+    crawl(CFG, out, concurrency=3, n_buckets=8)
+    # Second run with resume must do no work (manifests all valid).
+    import time
+
+    t0 = time.time()
+    s = crawl(CFG, out, concurrency=3, n_buckets=8)
+    assert s["complete"]
+    assert time.time() - t0 < 5.0  # pure bookkeeping, no Ray execution
