@@ -1,44 +1,251 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native crawl + training-data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (robots -> sitemap
+traversal -> gate -> URL-seen dedup -> politeness -> page fetch) over
+the deterministic synthetic corpus sized for sf0.001 and returns the
+fetched image+caption table (BASELINE.json input_hint schema).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 plus the training-data ops (dedup, ANN, text
+analysis, windows). ``oracle_sql()`` pairs every SQL-expressible query
+with DuckDB SQL over the same tables; crawl-protocol queries
+(robots/sitemap semantics) are not SQL-expressible — their correctness
+gate is the ported-reference pytest suite and the single-process
+traversal oracle (tests/test_crawl_e2e.py).
+
+Ray is initialised by the driver BEFORE import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _crawl_out(sf_dir: str) -> str:
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/kit_ray_out/{name}"
+
+
+def _run_crawl(sf_dir: str) -> str:
+    """Run (or reuse via checkpoint manifests) the crawl for this sf."""
+    from kit_ray.pipelines.crawl import crawl
+    from kit_ray.synth import config_for_sf_dir
+
+    out = _crawl_out(sf_dir)
+    cfg = config_for_sf_dir(sf_dir)
+    crawl(cfg, out, resume=True)
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+
+    out = _run_crawl(_SF0001)
+    return rd.read_parquet(
+        os.path.join(out, "images"), file_extensions=["parquet"]
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_crawl_order(sf_dir: str):
+    from kit_ray.pipelines.crawl import storage_read_parquet_table
+
+    out = _run_crawl(sf_dir)
+    t = storage_read_parquet_table(os.path.join(out, "crawl_order"))
+    return t.select(
+        ["url", "host", "url_key", "tick", "host_rank", "stack_rank", "pos",
+         "crawl_delay_s"]
+    )
+
+
+def _q_robots_cache(sf_dir: str):
+    from kit_ray.pipelines.crawl import storage_read_parquet_table
+
+    out = _run_crawl(sf_dir)
+    return storage_read_parquet_table(os.path.join(out, "robots_cache")).select(
+        ["host", "host_rank", "always", "crawl_delay_s", "policy_json"]
+    )
+
+
+def _q_sitemap_entries(sf_dir: str):
+    """Raw traversal output (pre-gate): every sitemap entry with its
+    lastmod/changefreq/priority fields and deterministic order key."""
+    import ray.data as rd
+
+    from kit_ray.stages.crawl_stages import HostTraverse
+    from kit_ray.synth import config_for_sf_dir
+
+    cfg = config_for_sf_dir(sf_dir)
+    out = _run_crawl(sf_dir)
+    robots = rd.read_parquet(
+        os.path.join(out, "robots_cache"), file_extensions=["parquet"]
+    )
+    return robots.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
+        HostTraverse,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=(1, 4),
+    )
+
+
+def _q_crawl_image_features(sf_dir: str):
+    """Multimodal decode stage over the crawl's fetched images."""
+    import ray.data as rd
+
+    from kit_ray.stages.data_stages import ImageDecode
+
+    out = _run_crawl(sf_dir)
+    imgs = rd.read_parquet(
+        os.path.join(out, "images"), file_extensions=["parquet"]
+    )
+    return imgs.map_batches(
+        ImageDecode, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
+def _q_crawl_thumbnails(sf_dir: str):
+    import ray.data as rd
+
+    from kit_ray.stages.data_stages import ImageResize
+
+    out = _run_crawl(sf_dir)
+    imgs = rd.read_parquet(
+        os.path.join(out, "images"), file_extensions=["parquet"]
+    )
+    return imgs.map_batches(
+        ImageResize, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kit_ray.pipelines import dataops as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- crawl engine (protocol semantics; oracle = pytest suite) ---
+        "crawl_order": _q_crawl_order,
+        "robots_cache": _q_robots_cache,
+        "sitemap_entries": _q_sitemap_entries,
+        "crawl_image_features": _q_crawl_image_features,
+        "crawl_thumbnails": _q_crawl_thumbnails,
+        # --- text analysis ---
+        "token_counts": Q.token_counts,
+        "char_class_counts": Q.char_class_counts,
+        "doc_quality": Q.doc_quality,
+        "lang_id": Q.lang_id_preds,
+        "fingerprints": Q.fingerprints,
+        # --- dedup ---
+        "dedup_exact": Q.dedup_exact,
+        "minhash_lsh_pairs": Q.minhash_lsh_pairs,
+        "simhash": Q.simhashes,
+        "embedding_neardup": Q.embedding_neardup,
+        # --- similarity search ---
+        "ann_topk": Q.ann_topk,
+        "ann_ivf": Q.ann_ivf,
+        # --- relational / windows ---
+        "docs_by_lang": Q.docs_by_lang,
+        "tpch_q1": Q.tpch_q1,
+        "top_customers": Q.top_customers,
+        "events_hourly": Q.events_hourly,
+        "user_sessions": Q.user_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS text_len,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpeish
+            FROM documents
+        """,
+        "char_class_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+                       AS punct_cnt,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                       AS digit_cnt
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_by_lang": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   round(sum(o_totalprice), 2) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name, c_mktsegment
+            ORDER BY total_spent DESC, c_custkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 3) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, round(sim, 6) AS score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE b.vec_id > a.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.5
+        """,
+    }

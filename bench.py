@@ -1,0 +1,141 @@
+"""Benchmark harness — one JSON line per run.
+
+Headline: the flagship crawl pipeline (robots -> traversal -> gate ->
+dedup -> politeness -> fetch -> image table) on the corpus sized for
+$GRAFT_SF_DIR, plus the headline data-ops queries. ``value`` is total
+wall seconds for the query set; per-query seconds in ``queries``.
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                                 # same input; prints throughput at both
+                                 # plus scaling efficiency (N vs 4N stand-in)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+HEADLINE_QUERIES = [
+    "tpch_q1",
+    "token_counts",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "events_hourly",
+    "user_sessions",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    from kit_ray.pipelines.crawl import crawl
+    from kit_ray.synth import config_for_sf_dir
+
+    # Warm the page cache (untimed) so we measure compute + shuffle.
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        with open(os.path.join(SF_DIR, f"{t}.parquet"), "rb") as f:
+            f.read()
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full crawl, fresh output ---
+    cfg = config_for_sf_dir(SF_DIR)
+    out = f"/tmp/kit_ray_bench/{os.path.basename(SF_DIR.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = crawl(cfg, out, resume=False)
+    timings["crawl"] = round(time.perf_counter() - t0, 3)
+    urls = summary["scheduled_rows"]
+
+    # --- data-ops queries ---
+    qs = entry_mod.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # Consume lazily-built Datasets so the pipeline actually runs.
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "crawl+dataops wall seconds (crawl: frontier sched+fetch; "
+        "urls_per_sec in extras)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "extras": {
+            "crawl_urls": urls,
+            "crawl_images": summary["image_rows"],
+            "urls_per_sec": round(urls / timings["crawl"], 1),
+        },
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh interpreter + fresh ray session at 8 then 32 CPUs
+    — the sandbox stand-in for N vs 4N nodes."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo = lo["extras"]["urls_per_sec"]
+    tput_hi = hi["extras"]["urls_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, crawl URLs/sec at 8 vs 32 CPUs",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "crawl_sec_8": lo["queries"]["crawl"],
+        "crawl_sec_32": hi["queries"]["crawl"],
+        "urls_per_sec_8": tput_lo,
+        "urls_per_sec_32": tput_hi,
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

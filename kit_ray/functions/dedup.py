@@ -1,0 +1,158 @@
+"""Deduplication kernels: exact hash, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All kernels are per-batch/vectorized building blocks; the distributed
+shapes live in pipelines/dataops.py:
+
+- exact:     content hash -> hash-partition (groupby) -> per-group first
+- MinHash:   shingles -> K permutation mins -> B bands of R rows ->
+             groupby(band, band_hash) -> candidate pairs -> Jaccard verify
+- SimHash:   64-bit sign-aggregated token hashes; near-dup = small
+             Hamming distance (bucket by bit-chunks for scale)
+- embedding: cosine >= threshold via blocked matmul
+
+Hashing is FNV/affine-universal — stable across processes and nodes
+(no Python builtin ``hash``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .text import hash_token, to_i64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def content_hash(texts: pd.Series) -> pd.Series:
+    """Exact-dedup key: FNV-1a 64 of the raw text, as signed int64."""
+    return texts.map(lambda t: to_i64(hash_token(t))).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: str, k: int = 3) -> set[int]:
+    """Hashed k-word shingles (64-bit)."""
+    toks = text.split()
+    if len(toks) < k:
+        return {hash_token(" ".join(toks))} if toks else set()
+    return {hash_token(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    return a, b
+
+
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(shingles: set[int], num_perm: int = 128, seed: int = 1) -> np.ndarray:
+    """K-permutation MinHash signature (uint64), affine-universal
+    ``(a*x + b) mod p`` hashing — mergeable and deterministic."""
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    a, b = _PERM_CACHE[key]
+    if not shingles:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles)).astype(object)
+    # (num_perm, n) affine transform over the Mersenne prime field.
+    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
+    """Split a signature into ``bands`` row-groups; each band hashes to
+    one bucket key. Docs sharing any band key are candidates."""
+    rows = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows]
+        h = 0xCBF29CE484222325
+        for v in chunk.tobytes():
+            h = ((h ^ v) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        keys.append(to_i64(h))
+    return keys
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Verified n-gram Jaccard similarity between two documents."""
+    return jaccard(word_shingles(text_a, k), word_shingles(text_b, k))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (unweighted)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    ones = np.ones(64, dtype=np.int64)
+    for t in toks:
+        h = hash_token(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), ones, -ones)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return to_i64(v)
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def simhash_chunks(value: int, chunks: int = 4) -> list[int]:
+    """Split a SimHash into ``chunks`` bit-slices. Two hashes within
+    Hamming distance < chunks share at least one identical slice
+    (pigeonhole) — the LSH bucketing key for SimHash near-dup."""
+    u = value & 0xFFFFFFFFFFFFFFFF
+    w = 64 // chunks
+    return [(u >> (i * w)) & ((1 << w) - 1) for i in range(chunks)]
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def cosine_pairs(
+    ids: np.ndarray, vecs: np.ndarray, threshold: float, block: int = 1024
+) -> list[tuple[int, int, float]]:
+    """All pairs (i<j) with cosine >= threshold, via blocked matmul —
+    the verify step after LSH/IVF bucketing at scale."""
+    m = normalize_rows(vecs.astype(np.float64))
+    out = []
+    n = len(ids)
+    for s in range(0, n, block):
+        sims = m[s : s + block] @ m.T
+        for r in range(sims.shape[0]):
+            gi = s + r
+            js = np.nonzero(sims[r] >= threshold)[0]
+            for j in js:
+                if j > gi:
+                    out.append((int(ids[gi]), int(ids[j]), float(sims[r, j])))
+    return out

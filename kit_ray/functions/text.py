@@ -1,0 +1,140 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Vectorized (pandas/numpy) per-batch functions used inside
+``map_batches``: token counting, quality scoring, language ID and
+document fingerprinting. These are the text components a 100 TB corpus
+pipeline runs alongside the crawl engine; each has a ``queries()``
+entry over the ``documents`` table (SQL-oracled where DuckDB can
+express the same computation, rows-only otherwise).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# BPE-ish word/number/punctuation tokenizer (compiled once at import;
+# stages compile their own in __init__ when run as actors).
+BPEISH_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+PUNCT_RE = re.compile(r"[^\w\s]")
+DIGIT_RE = re.compile(r"\d")
+
+# Tiny per-language stopword lists (top function words) for the n-gram /
+# stopword language-ID heuristic. Deliberately small: the heuristic, not
+# a model, is the point (no network, no model downloads).
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+}
+_STOP_ALL = {w for ws in STOPWORDS.values() for w in ws}
+
+
+def whitespace_token_count(texts: pd.Series) -> pd.Series:
+    """len(text.split()) — runs of whitespace collapse; '' -> 0.
+    DuckDB equivalent: CASE WHEN trim(text)='' THEN 0 ELSE
+    len(string_split_regex(trim(text), '\\s+')) END."""
+    return texts.str.split().str.len().fillna(0).astype("int64")
+
+
+def bpeish_token_count(texts: pd.Series) -> pd.Series:
+    """Count of BPE-ish tokens (letter runs, digit runs, single
+    punctuation) — the cheap token estimator for budget accounting."""
+    return texts.str.findall(BPEISH_RE).str.len().fillna(0).astype("int64")
+
+
+def text_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-document quality features: lengths, punctuation/digit/space
+    ratios, mean word length, stopword ratio, and a composite
+    quality score in [0,1]."""
+    t = df[text_col]
+    n = t.str.len().astype("int64")
+    toks = whitespace_token_count(t)
+    n_safe = n.replace(0, 1)
+    punct = t.str.count(PUNCT_RE) / n_safe
+    digit = t.str.count(DIGIT_RE) / n_safe
+    words = t.str.lower().str.split()
+    stop_ratio = words.map(
+        lambda ws: sum(w in _STOP_ALL for w in ws) / len(ws) if ws else 0.0
+    )
+    mean_word_len = (n - toks + 1).clip(lower=0) / toks.replace(0, 1)
+
+    out = df[[c for c in df.columns if c != text_col]].copy()
+    out["text_len"] = n
+    out["n_tokens"] = toks
+    out["punct_ratio"] = punct.astype("float64")
+    out["digit_ratio"] = digit.astype("float64")
+    out["stopword_ratio"] = stop_ratio.astype("float64")
+    out["mean_word_len"] = mean_word_len.astype("float64")
+    # Quality: long enough, not punctuation/digit soup, has function words.
+    out["quality"] = (
+        np.clip(n / 500.0, 0, 1) * 0.4
+        + np.clip(1.0 - 4.0 * punct, 0, 1) * 0.2
+        + np.clip(1.0 - 4.0 * digit, 0, 1) * 0.2
+        + np.clip(4.0 * stop_ratio, 0, 1) * 0.2
+    ).astype("float64")
+    return out
+
+
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Stopword-vote language ID: the language whose stopword list hits
+    the most tokens wins; ties/no-hits -> 'und'. (Real corpora would use
+    fasttext; heuristic keeps the stage hermetic.)"""
+    def one(text: str) -> str:
+        ws = text.lower().split()
+        if not ws:
+            return "und"
+        best, best_n = "und", 0
+        for lang, stops in STOPWORDS.items():
+            k = sum(w in stops for w in ws)
+            if k > best_n:
+                best, best_n = lang, k
+        return best
+
+    return texts.map(one)
+
+
+def rolling_fingerprint(texts: pd.Series, window: int = 8) -> pd.Series:
+    """Document fingerprint: min of Rabin-Karp rolling hashes over
+    ``window``-token shingles (a 1-perm MinHash). Deterministic int64."""
+    B = 1_000_003
+    MOD = (1 << 61) - 1
+
+    def one(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = [hash_token(t) for t in toks]
+        if len(hs) <= window:
+            acc = 0
+            for h in hs:
+                acc = (acc * B + h) % MOD
+            return to_i64(acc)
+        pw = pow(B, window - 1, MOD)
+        acc = 0
+        for h in hs[:window]:
+            acc = (acc * B + h) % MOD
+        best = acc
+        for i in range(window, len(hs)):
+            acc = ((acc - hs[i - window] * pw) * B + hs[i]) % MOD
+            if acc < best:
+                best = acc
+        return to_i64(best)
+
+    return texts.map(one).astype("int64")
+
+
+def hash_token(tok: str) -> int:
+    """FNV-1a 64-bit over UTF-8 — stable across processes."""
+    h = 0xCBF29CE484222325
+    for b in tok.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def to_i64(v: int) -> int:
+    v &= 0xFFFFFFFFFFFFFFFF
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -1,0 +1,197 @@
+"""Stateful actor-pool stages for the training-data pipelines.
+
+Same pattern as the crawl stages: compile/load once in ``__init__``,
+vectorized work per batch in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+class TextFeatures:
+    """documents batch -> quality/stat features. Regexes and stopword
+    sets are compiled once per actor."""
+
+    def __init__(self):
+        # Import inside __init__ so compilation cost is per-actor.
+        from ..functions import text as T
+
+        self.T = T
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return self.T.text_stats(df)
+
+
+class LangId:
+    def __init__(self):
+        from ..functions.text import lang_id
+
+        self.lang_id = lang_id
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"]].copy()
+        out["pred_lang"] = self.lang_id(df["text"])
+        return out
+
+
+class MinHasher:
+    """documents batch -> exploded (band, band_key, doc_id) rows.
+    Permutation parameters are derived once per actor (seeded)."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 16, shingle_k: int = 3):
+        from ..functions import dedup as D
+
+        self.D = D
+        self.num_perm = num_perm
+        self.bands = bands
+        self.k = shingle_k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, bands_, keys = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = self.D.minhash_signature(
+                self.D.word_shingles(text, self.k), self.num_perm
+            )
+            for b, k in enumerate(self.D.lsh_band_keys(sig, self.bands)):
+                doc_ids.append(doc_id)
+                bands_.append(b)
+                keys.append(k)
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "band": bands_, "band_key": keys}
+        ).astype({"doc_id": "int64", "band": "int32", "band_key": "int64"})
+
+
+class SimHasher:
+    def __init__(self):
+        from ..functions.dedup import simhash
+
+        self.simhash = simhash
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"]].copy()
+        out["simhash"] = df["text"].map(self.simhash).astype("int64")
+        return out
+
+
+class BruteForceTopK:
+    """Embedding batches scored against a broadcast query matrix; emits
+    per-(query, batch) partial top-k rows. A final small groupby merge
+    produces the global top-k — the classic partial-then-merge shape, so
+    candidate batches stream and nothing materializes the full matrix.
+    """
+
+    def __init__(self, queries_ref, k: int):
+        from ..functions.ann import brute_force_scores, topk_merge
+
+        q = ray.get(queries_ref)  # {"ids": (Q,), "vecs": (Q, D)}
+        self.q_ids = q["ids"]
+        self.q_vecs = q["vecs"]
+        self.k = k
+        self.score = brute_force_scores
+        self.merge = topk_merge
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cand_ids = batch["vec_id"].to_numpy()
+        cand = np.stack(batch["embedding"].to_numpy())
+        sims = self.score(self.q_vecs, cand)  # (Q, C)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for qi, qid in enumerate(self.q_ids):
+            mask = cand_ids != qid  # exclude self-match
+            ids, scores = self.merge(cand_ids[mask], sims[qi][mask], self.k)
+            rows["query_id"].extend([qid] * len(ids))
+            rows["neighbor_id"].extend(ids.tolist())
+            rows["score"].extend(scores.tolist())
+        return pd.DataFrame(rows).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
+        )
+
+
+class ImageDecode:
+    """Crawl-output image rows -> decoded-pixel feature columns.
+
+    The png/raw codecs are real (functions/imagegen.py); jpeg/webp would
+    plug in here and are gated behind NotImplementedError in this
+    container. Demonstrates the multimodal actor shape: small batches,
+    binary in, fixed-width features out.
+    """
+
+    def __init__(self):
+        from ..functions.imagegen import decode_image
+
+        self.decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds = [], []
+        for row in batch.select(["bytes", "fmt", "w", "h"]).to_pylist():
+            px = self.decode(row)
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+        out = batch.select(["image_id", "url", "w", "h", "fmt", "phash"])
+        out = out.append_column("pixel_mean", pa.array(means, pa.float64()))
+        out = out.append_column("pixel_std", pa.array(stds, pa.float64()))
+        return out
+
+
+class ImageResize:
+    """Nearest-neighbor resize to a fixed (size x size) thumbnail; emits
+    raw RGB bytes. Vision-model preprocessing shape."""
+
+    def __init__(self, size: int = 16):
+        from ..functions.imagegen import decode_image
+
+        self.decode = decode_image
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = []
+        s = self.size
+        for row in batch.select(["bytes", "fmt", "w", "h"]).to_pylist():
+            px = self.decode(row)
+            h, w, _ = px.shape
+            ys = (np.arange(s) * h) // s
+            xs = (np.arange(s) * w) // s
+            thumbs.append(px[np.ix_(ys, xs)].tobytes())
+        out = batch.select(["image_id", "url", "caption"])
+        out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
+        out = out.append_column(
+            "thumb_wh", pa.array([s] * len(thumbs), pa.int32())
+        )
+        return out
+
+
+class FrameSample:
+    """Video frame-sampling stage STUB: no video codec exists in this
+    container. The Ray-side plumbing (actor signature, batch contract,
+    output schema) is real; ``decode`` raises NotImplementedError and
+    the deterministic fake below is used under ``fake=True`` for tests.
+    """
+
+    OUTPUT_SCHEMA = pa.schema(
+        [("media_id", pa.string()), ("frame_idx", pa.int32()),
+         ("frame", pa.binary())]
+    )
+
+    def __init__(self, every_n: int = 30, fake: bool = False):
+        self.every_n = every_n
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "frame_idx": [], "frame": []}
+        for mid, blob in zip(
+            batch["media_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            if not self.fake:
+                raise NotImplementedError(
+                    "no video codec in this container; run with fake=True"
+                )
+            # Deterministic fake: one "frame" per every_n KiB of payload.
+            for i in range(max(1, len(blob) // (self.every_n * 1024))):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(i)
+                rows["frame"].append(blob[i * 16 : i * 16 + 16])
+        return pa.table(rows, schema=self.OUTPUT_SCHEMA)

@@ -1,0 +1,111 @@
+"""Replicates the driver's correctness gate: every ``queries()`` entry
+with an ``oracle_sql()`` pair must match DuckDB on the same parquet
+tables (row count + schema + order-insensitive values) at sf0.01;
+rows-only entries must at least run and return a stable schema.
+"""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        df = res.to_pandas()
+        if df.empty and not len(df.columns):
+            schema = res.schema()
+            df = pd.DataFrame({n: pd.Series(dtype="object") for n in schema.names})
+        return df
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _oracle_df(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    got, want = _normalize(got), _normalize(want)
+    assert list(got.columns) == list(want.columns), f"{name}: columns differ"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            assert np.allclose(got[c], want[c], atol=1e-9, equal_nan=True), (
+                f"{name}: float column {c} differs"
+            )
+        else:
+            assert got[c].equals(want[c]), f"{name}: column {c} differs"
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+def test_all_oracled_queries(entry_mod):
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    assert set(sqls) <= set(qs), "oracle_sql keys must be a subset of queries"
+    failures = []
+    for name, sql in sqls.items():
+        try:
+            got = _to_pandas(qs[name](SF_DIR))
+            want = _oracle_df(sql)
+            _compare(got, want, name)
+        except AssertionError as e:
+            failures.append(str(e))
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: raised {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+def test_rows_only_queries_run(entry_mod):
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    rows_only = [n for n in qs if n not in sqls]
+    for name in rows_only:
+        res = _to_pandas(qs[name](SF_DIR))
+        assert res is not None and len(res.columns) > 0, name
+        assert len(res) >= 0
+
+
+def test_entry_smoke(entry_mod):
+    ds = entry_mod.entry()
+    n = ds.count()
+    assert n > 0
+    names = set(ds.schema().names)
+    assert {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"} <= names
