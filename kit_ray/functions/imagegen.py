@@ -65,10 +65,12 @@ def png_encode(pixels: np.ndarray) -> bytes:
     raw = np.concatenate(
         [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1
     ).tobytes()
+    # Level 1: the synthetic pixels are random (incompressible); higher
+    # levels only burn CPU in the fetch hot path.
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IDAT", zlib.compress(raw, 1))
         + _chunk(b"IEND", b"")
     )
 
@@ -127,11 +129,13 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 # Deterministic page payloads
 # ---------------------------------------------------------------------------
 
-def make_pixels(url: str, seed: int) -> np.ndarray:
-    """Deterministic (h, w, 3) uint8 pixels for a URL."""
+def make_pixels(url: str, seed: int, scale: int = 1) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for a URL. ``scale``
+    multiplies the dimensions (used by benches to make per-URL fetch
+    work dominant, as real image payloads would be)."""
     k = stable_hash("pixels", str(seed), url)
-    w = 24 + (k % 33)
-    h = 16 + ((k >> 8) % 25)
+    w = (24 + (k % 33)) * scale
+    h = (16 + ((k >> 8) % 25)) * scale
     rng = np.random.default_rng(k)
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
@@ -144,11 +148,11 @@ def average_phash(pixels: np.ndarray) -> int:
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
     cells = gray[np.ix_(ys, xs)]
-    bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        val |= b << np.uint64(i)
-    return int(np.int64(val))
+    bits = (cells > cells.mean()).ravel().astype(np.uint8)
+    # bit i of the hash = bits[i] (little-endian pack).
+    packed = np.packbits(bits, bitorder="little").tobytes()
+    val = int.from_bytes(packed, "little")
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def make_caption(url: str, seed: int) -> str:
@@ -158,12 +162,12 @@ def make_caption(url: str, seed: int) -> str:
     return f"a photo of the {adj} {noun}"
 
 
-def make_image_row(url: str, seed: int) -> dict:
+def make_image_row(url: str, seed: int, scale: int = 1) -> dict:
     """The full image+caption row for a fetched URL, matching
     BASELINE.json input_hint exactly: (image_id, bytes, w, h, fmt,
     caption, phash). fmt alternates png/raw (both lossless) so the
     decode path is exercised without a lossy codec in the sandbox."""
-    px = make_pixels(url, seed)
+    px = make_pixels(url, seed, scale)
     h, w, _ = px.shape
     k = stable_hash("fmt", str(seed), url)
     if k % 4 == 0:

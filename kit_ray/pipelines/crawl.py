@@ -17,9 +17,9 @@ the images stage re-fetches only buckets whose manifest is missing.
 Kill the job anywhere and re-run — output is byte-identical to an
 uninterrupted run (pinned by tests/test_crawl_e2e.py).
 
-Shuffles (exactly three, SURVEY §4): groupby(url_key) for the seen set,
-groupby(host) for politeness, and the final sort of the (small)
-schedule metadata. Image rows are written unsorted with their order
+Shuffles (exactly three, SURVEY §4): the range-sort on url_key for the
+seen set (dedup_first_sorted), groupby(host) for politeness, and the
+final sort of the (small) schedule metadata. Image rows are written unsorted with their order
 keys attached — consumers needing global order sort the metadata, not
 the payload bytes.
 """
@@ -61,11 +61,31 @@ def _default_parallelism() -> int:
         return 4
 
 
-def _dedup_first(group: pd.DataFrame) -> pd.DataFrame:
-    """URL-seen semantics: first occurrence in discovery order wins
-    (hash-partition + per-group min order key, SURVEY §2.4)."""
-    i = group[["host_rank", "stack_rank", "pos"]].apply(tuple, axis=1).idxmin()
-    return group.loc[[i]]
+def _drop_dup_urls(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop_duplicates(subset=["url_key"], keep="first")
+
+
+def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (8, 1)):
+    """URL-seen semantics: first occurrence in discovery order wins.
+
+    Fully vectorized sort-based dedup (no per-group Python — Ray's
+    groupby().map_groups costs ~1 ms per group, fatal with one group per
+    URL): global range-sort on (url_key, discovery order key) makes each
+    key's rows contiguous, a per-block ``drop_duplicates(keep=first)``
+    keeps the min-order row per key per block, and order-preserving
+    ``repartition`` rounds merge formerly-adjacent blocks so boundary
+    duplicates collapse. After pass one a key occupies at most one row
+    per block, so each coalesce round shrinks boundary dupes by the
+    merge factor; the final round must end at 1 block per key-range
+    (here 1 block total — at cluster scale use e.g. (64, 8, 1) ranges).
+    """
+    ds = ds.sort(["url_key", "host_rank", "stack_rank", "pos"])
+    ds = ds.map_batches(_drop_dup_urls, batch_format="pandas", batch_size=None)
+    for n in coalesce:
+        ds = ds.repartition(n).map_batches(
+            _drop_dup_urls, batch_format="pandas", batch_size=None
+        )
+    return ds
 
 
 def _politeness_ticks(group: pd.DataFrame) -> pd.DataFrame:
@@ -84,7 +104,7 @@ def crawl(
     resume: bool = True,
     n_buckets: int = 16,
     concurrency: int | None = None,
-    fetch_batch_size: int = 64,
+    fetch_batch_size: int = 128,
     only_buckets: list[int] | None = None,
 ) -> dict:
     """Run (or resume) the full crawl; returns a summary dict."""
@@ -95,21 +115,22 @@ def crawl(
 
     # ---- stage 1: robots fetch + parse (per host) -----------------------
     robots_dir = os.path.join(out_dir, "robots_cache")
+    robots_mat = None  # materialized stage-1 output, reused by stage 2
     t0 = time.time()
     if not (resume and storage.valid_checkpoint(robots_dir, digest)):
         hosts = cfg.hosts()
         seeds = rd.from_items(
             [{"host": h, "host_rank": i} for i, h in enumerate(hosts)]
         ).repartition(min(len(hosts), par * 2))
-        robots_ds = seeds.map_batches(
+        robots_mat = seeds.map_batches(
             RobotsFetchParse,
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
-            batch_size=8,
-            concurrency=(1, max(2, par // 2)),  # autoscaling pool: leave CPUs for shuffle tasks
+            batch_size=16,
+            concurrency=(1, 4),  # tiny per-host work: more actors = pure startup cost
             num_cpus=1,
-        )
-        robots_ds.write_parquet(robots_dir)
+        ).materialize()  # small (one row per host): pin and reuse
+        robots_mat.write_parquet(robots_dir)
         rows = pq_count(robots_dir)
         storage.write_manifest(
             robots_dir, stage="robots_cache", digest=digest, rows=rows,
@@ -120,36 +141,34 @@ def crawl(
 
     # Broadcast the per-host policy cache once (small side; see
     # stages/crawl_stages.py for the >10^6-host partitioned alternative).
-    robots_tbl = storage_read_parquet_table(robots_dir)
-    policies = dict(
-        zip(robots_tbl["host"].to_pylist(), robots_tbl["policy_json"].to_pylist())
-    )
+    if robots_mat is not None:
+        rdf = robots_mat.select_columns(["host", "policy_json"]).to_pandas()
+    else:
+        rdf = storage_read_parquet_table(robots_dir).select(
+            ["host", "policy_json"]
+        ).to_pandas()
+    policies = dict(zip(rdf["host"], rdf["policy_json"]))
     policies_ref = ray.put(policies)
 
     # ---- stage 2: traversal -> gate -> dedup -> politeness -> schedule --
     order_dir = os.path.join(out_dir, "crawl_order")
     t0 = time.time()
     if not (resume and storage.valid_checkpoint(order_dir, digest)):
-        robots_ds = rd.read_parquet(robots_dir)
-        entries = robots_ds.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
+        robots_ds = robots_mat if robots_mat is not None else rd.read_parquet(robots_dir)
+        # Traversal with the robots gate FUSED into the same actor pool
+        # (policies broadcast once; one pool, one hop).
+        gated = robots_ds.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
             HostTraverse,
-            fn_constructor_kwargs={"cfg": cfg},
+            fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},
             batch_format="pyarrow",
             batch_size=2,  # a batch is a unit of host-parallelism
-            concurrency=(1, max(2, par // 2)),
+            # Min sized to par/3 (bounded): autoscaling ramp-up from a
+            # tiny pool otherwise dominates short stages; cap below par
+            # so shuffle/write tasks never starve.
+            concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
             num_cpus=1,
         )
-        gated = entries.map_batches(
-            RobotsGate,
-            fn_constructor_kwargs={"policies_ref": policies_ref},
-            batch_format="pyarrow",
-            batch_size=4096,
-            concurrency=(1, max(1, par // 4)),
-            num_cpus=1,
-        )
-        deduped = gated.groupby("url_key").map_groups(
-            _dedup_first, batch_format="pandas"
-        )
+        deduped = dedup_first_sorted(gated)
         scheduled = deduped.groupby("host").map_groups(
             _politeness_ticks, batch_format="pandas"
         )
@@ -184,7 +203,10 @@ def crawl(
     if todo:
         t0 = time.time()
         todo_set = set(todo)
-        order_ds = rd.read_parquet(order_dir)
+        # The schedule is tiny metadata but usually a single file: spread
+        # it so the fetch pool's parallelism isn't capped by source
+        # block count.
+        order_ds = rd.read_parquet(order_dir).repartition(par * 2)
         pending = order_ds.map_batches(
             lambda t: t.filter(
                 pa.array(
@@ -199,7 +221,9 @@ def crawl(
             fn_constructor_kwargs={"cfg": cfg, "n_buckets": n_buckets},
             batch_format="pyarrow",
             batch_size=fetch_batch_size,  # binary payloads: keep batches small
-            concurrency=(1, max(2, par // 2)),
+            # Pool min sized below the CPU count so upstream read/filter
+            # tasks and the write sink never starve (deadlock otherwise).
+            concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
             num_cpus=1,
         )
         storage.write_dataset(images, images_dir, partition_cols=["bucket"])

@@ -135,15 +135,30 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8):
         concurrency=(1, 4),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []}).astype("int64")
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b}).astype("int64")
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized per-block pair generation over contiguous buckets
+        # (blocks are sorted by (band, band_key); see note below).
+        out_a, out_b = [], []
+        for (_, _), g in df.groupby(["band", "band_key"], sort=False):
+            ids = sorted(set(g["doc_id"]))
+            for i, x in enumerate(ids):
+                for y in ids[i + 1 :]:
+                    out_a.append(x)
+                    out_b.append(y)
+        return pd.DataFrame(
+            {"doc_id_a": pd.Series(out_a, dtype="int64"),
+             "doc_id_b": pd.Series(out_b, dtype="int64")}
+        )
 
-    cands = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # Sort makes buckets contiguous; the single-block coalesce keeps every
+    # bucket whole (exact pairs). Ray's groupby().map_groups costs ~1 ms
+    # per group — fatal with one group per band bucket. At cluster scale
+    # the coalesce is replaced by a hash-partitioned self-join on
+    # (band, band_key) (Dataset.join) — buckets are tiny by construction.
+    cands = (
+        banded.sort(["band", "band_key"])
+        .repartition(1)
+        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     )
 
     class Verify:

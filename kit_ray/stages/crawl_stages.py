@@ -126,10 +126,16 @@ class HostTraverse:
     The LIFO drive loop (kernels/traverse.py == auto.rs:169-207) runs
     inside the actor: per-host traversal is sequential by protocol, so
     the scalable axis is hosts-per-pool, not parallelism within a host.
+
+    When constructed with ``policies_ref`` the robots gate is fused into
+    the same actor (one pool, no extra hop): entries are emitted with
+    their verdict already applied plus the ``url_key``/``crawl_delay_s``
+    columns the dedup/politeness stages need.
     """
 
-    def __init__(self, cfg: CorpusConfig):
+    def __init__(self, cfg: CorpusConfig, policies_ref=None):
         self.cfg = cfg
+        self.gate = RobotsGate(policies_ref) if policies_ref is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {name: [] for name in ENTRY_SCHEMA.names}
@@ -152,7 +158,10 @@ class HostTraverse:
                 rows["changefreq"].append(e.frequency)
                 rows["priority"].append(e.priority)
                 rows["source_sitemap"].append(t.source_sitemap)
-        return pa.table(rows, schema=ENTRY_SCHEMA)
+        out = pa.table(rows, schema=ENTRY_SCHEMA)
+        if self.gate is not None:
+            out = self.gate(out)
+        return out
 
 
 class RobotsGate:

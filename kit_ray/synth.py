@@ -49,6 +49,7 @@ class CorpusConfig:
     n_hosts: int = 20
     pages_per_host: int = 50
     urls_per_sitemap: int = 25  # split point for index layouts
+    image_scale: int = 1  # payload-size multiplier (benchmark knob)
 
     def hosts(self) -> list[str]:
         return [f"host{i:05d}.example" for i in range(self.n_hosts)]
@@ -204,7 +205,7 @@ class CorpusConfig:
 
     def page(self, url: str) -> dict:
         """Fetch a page -> image+caption row (input_hint schema)."""
-        return make_image_row(url, self.seed)
+        return make_image_row(url, self.seed, self.image_scale)
 
 
 def config_for_sf_dir(sf_dir: str) -> CorpusConfig:
