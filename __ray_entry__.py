@@ -125,6 +125,33 @@ def _q_crawl_thumbnails(sf_dir: str):
     )
 
 
+def _q_sitemap_roundtrip(sf_dir: str):
+    """Builder parity: write the traversal's entries back out as sharded
+    <urlset> XML (<=50k records/file), re-parse every shard, and return
+    the re-parsed rows — a build->parse round-trip over the whole corpus
+    (EntryBuilder/EntryParser, build/entry.rs <-> parse/entry.rs)."""
+    import pandas as pd
+
+    from kit_ray.kernels.sitemap import parse_urlset
+    from kit_ray.pipelines.sitemap_sink import write_urlset_sitemaps
+
+    entries = _q_sitemap_entries(sf_dir)
+    out_dir = os.path.join(_crawl_out(sf_dir), "sitemap_roundtrip")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_urlset_sitemaps(entries, out_dir)
+    rows = []
+    for path in manifest["path"]:
+        with open(path, "rb") as f:
+            for e in parse_urlset(f.read()):
+                rows.append(
+                    {"url": str(e.location), "changefreq": e.frequency,
+                     "priority": e.priority}
+                )
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kit_ray.pipelines import dataops as Q
 
@@ -135,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_entries": _q_sitemap_entries,
         "crawl_image_features": _q_crawl_image_features,
         "crawl_thumbnails": _q_crawl_thumbnails,
+        "recrawl_due": Q.recrawl_due,
+        "sitemap_roundtrip": _q_sitemap_roundtrip,
         # --- text analysis ---
         "token_counts": Q.token_counts,
         "char_class_counts": Q.char_class_counts,

@@ -431,6 +431,12 @@ class Robots:
         return Robots(st.longest_match, always, rules, st.crawl_delay, st.sitemaps)
 
     @staticmethod
+    def from_reader(reader, user_agent: str) -> "Robots":
+        """Parse from any binary file-like, reading at most BYTE_LIMIT
+        bytes (mod.rs:116-125 ``reader.take(BYTE_LIMIT)``)."""
+        return Robots.from_bytes(reader.read(BYTE_LIMIT), user_agent)
+
+    @staticmethod
     def _optimize(rules: list[Rule]):
         # inner.rs:62-78 (`optimal` feature fold — verdict-preserving).
         if not rules or all(r.allow for r in rules):

@@ -227,13 +227,23 @@ def crawl(
             num_cpus=1,
         )
         storage.write_dataset(images, images_dir, partition_cols=["bucket"])
+        import pyarrow.dataset as pads
+
         for b in todo:
             bdir = os.path.join(images_dir, f"bucket={b}")
+            try:
+                bytes_out = pads.dataset(bdir, format="parquet",
+                                         ignore_prefixes=[".", "_"]).to_table(
+                    columns=["payload_bytes"]
+                )["payload_bytes"]
+                bytes_out = int(pa.compute.sum(bytes_out).as_py() or 0)
+            except Exception:
+                bytes_out = -1
             storage.write_manifest(
                 bdir, stage="images", digest=digest, rows=rows_per_bucket[b],
                 schema=[n for n in ("image_id", "bytes", "w", "h", "fmt",
-                                     "caption", "phash", "url")],
-                started=t0, extra={"bucket": b},
+                                     "caption", "phash", "payload_bytes", "url")],
+                started=t0, extra={"bucket": b, "payload_bytes": bytes_out},
             )
     summary["fetched_buckets"] = sorted(
         b for b in rows_per_bucket

@@ -404,6 +404,41 @@ def events_hourly(sf_dir: str):
     return out
 
 
+def recrawl_due(sf_dir: str, now: str = "2024-01-01T00:00:00+00:00"):
+    """Recrawl-scheduling predicate over the traversal's sitemap entries
+    (Frequency::is_outdated arithmetic, frequency.rs:69-100): an entry is
+    due iff changefreq says it may have changed since lastmod, evaluated
+    against a fixed virtual 'now'. Unknown lastmod/changefreq -> due
+    (conservative). Vectorized pyarrow/pandas timestamp arithmetic."""
+    import numpy as np
+
+    from ..kernels.sitemap import iso8601_parse
+
+    now_ts = pd.Timestamp(iso8601_parse(now))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        delta = df["changefreq"].map(
+            {"hourly": pd.Timedelta(hours=1), "daily": pd.Timedelta(days=1),
+             "weekly": pd.Timedelta(days=7), "monthly": pd.Timedelta(days=30),
+             "yearly": pd.Timedelta(days=365)}
+        )
+        lastmod = pd.to_datetime(df["lastmod"], utc=True)
+        nxt = lastmod + delta
+        due = pd.Series(True, index=df.index)  # default: due
+        due[df["changefreq"] == "never"] = False
+        known = delta.notna() & lastmod.notna()
+        due[known] = nxt[known] <= now_ts
+        out = df[["url", "changefreq"]].copy()
+        out["lastmod"] = lastmod.astype("datetime64[us, UTC]")
+        out["due"] = due.astype(bool)
+        return out
+
+    import __ray_entry__ as entry_mod  # reuse the traversal query
+
+    entries = entry_mod.queries()["sitemap_entries"](sf_dir)
+    return entries.map_batches(fn, batch_format="pandas")
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per user, a new session starts after a >30 min
     gap. groupby(user).map_groups over ts-sorted events — the

@@ -55,6 +55,7 @@ IMAGE_SCHEMA = pa.schema(
         ("fmt", pa.string()),
         ("caption", pa.string()),
         ("phash", pa.int64()),
+        ("payload_bytes", pa.int64()),
         ("url", pa.string()),
         ("host", pa.string()),
         ("bucket", pa.int32()),
@@ -241,6 +242,7 @@ class PageFetch:
             img = self.cfg.page(url)
             for k, v in img.items():
                 rows[k].append(v)
+            rows["payload_bytes"].append(len(img["bytes"]))  # countio parity
             rows["url"].append(url)
             rows["host"].append(host)
             rows["bucket"].append(host_bucket(host, self.n_buckets))

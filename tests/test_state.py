@@ -1,0 +1,140 @@
+"""URL-seen filter shards, politeness authorities, and the incremental
+frontier loop."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kit_ray.state.seen import CountingBloom, CuckooFilter, SeenSet, SeenShard
+from kit_ray.stages.politeness import PolitenessPool, TokenBucketShard, salt_hot_hosts
+
+
+class TestCountingBloom:
+    def test_membership_and_remove(self):
+        b = CountingBloom(1 << 14)
+        keys = [k * 7919 + 13 for k in range(500)]
+        for k in keys:
+            b.add(k)
+        assert all(b.might_contain(k) for k in keys)
+        b.remove(keys[0])
+        assert not b.might_contain(keys[0]) or True  # may still collide
+        # No false negatives for remaining keys.
+        assert all(b.might_contain(k) for k in keys[1:])
+
+    def test_fp_rate_bounded(self):
+        b = CountingBloom(1 << 16)
+        for k in range(2000):
+            b.add(k)
+        fps = sum(b.might_contain(k) for k in range(10_000, 20_000))
+        assert fps / 10_000 < 0.02
+
+
+class TestCuckoo:
+    def test_membership(self):
+        c = CuckooFilter(1 << 12)
+        keys = list(range(5000))
+        for k in keys:
+            c.add(k)
+        assert all(c.might_contain(k) for k in keys)  # no false negatives
+        fps = sum(c.might_contain(k) for k in range(100_000, 110_000))
+        assert fps / 10_000 < 0.01
+
+    def test_overfull_degrades_not_breaks(self):
+        c = CuckooFilter(1 << 4)  # tiny: force stash usage
+        keys = list(range(200))
+        for k in keys:
+            c.add(k)
+        assert all(c.might_contain(k) for k in keys)
+
+
+class TestSeenShard:
+    def test_offer_first_wins(self):
+        s = SeenShard(0)
+        assert s.offer([1, 2, 1, 3, 2]) == [True, True, False, True, False]
+        assert s.contains([1, 2, 3, 4]) == [True, True, True, False]
+
+    def test_checkpoint_restore(self, tmp_path):
+        s = SeenShard(3)
+        s.offer(list(range(100)))
+        s.checkpoint(str(tmp_path))
+        s2 = SeenShard(3)
+        assert s2.restore(str(tmp_path))
+        assert s2.offer([5]) == [False]
+        assert s2.offer([1000]) == [True]
+
+    def test_filters_only_mode(self):
+        s = SeenShard(0, exact=False)
+        assert s.offer([10, 20, 10]) == [True, True, False]
+        assert s.contains([10, 20]) == [True, True]
+
+
+class TestSeenSetLocal:
+    def test_sharded_routing(self):
+        ss = SeenSet(n_shards=4, use_ray=False)
+        urls = [f"https://h{i}.example/p/{i}" for i in range(200)]
+        first = ss.offer(urls)
+        assert all(first)
+        again = ss.offer(urls)
+        assert not any(again)
+        # Per-shard stats show a reasonable spread.
+        adds = [st["added"] for st in ss.stats()]
+        assert sum(adds) == 200 and max(adds) < 120
+
+    def test_checkpoint_restore(self, tmp_path):
+        ss = SeenSet(n_shards=4, use_ray=False)
+        ss.offer([f"u{i}" for i in range(50)])
+        ss.checkpoint(str(tmp_path))
+        ss2 = SeenSet(n_shards=4, use_ray=False)
+        assert ss2.restore(str(tmp_path))
+        assert ss2.contains([f"u{i}" for i in range(50)]) == [True] * 50
+
+
+class TestPoliteness:
+    def test_token_bucket_monotone(self):
+        t = TokenBucketShard(0)
+        t.set_delays({"a": 2.0, "b": 0.0})
+        assert t.schedule(["a", "a", "b", "a", "b"]) == [0.0, 2.0, 0.0, 4.0, 0.0]
+        # Ticks continue across calls (cross-round monotonicity).
+        assert t.schedule(["a"]) == [6.0]
+
+    def test_pool_routing(self):
+        p = PolitenessPool(n_shards=4, use_ray=False)
+        p.set_delays({"x.example": 1.0, "y.example": 3.0})
+        ticks = p.schedule(["x.example", "y.example", "x.example", "y.example"])
+        assert ticks == [0.0, 0.0, 1.0, 3.0]
+
+    def test_salt_hot_hosts(self):
+        import pyarrow as pa
+
+        t = pa.table({"host": ["hot"] * 10 + ["cold"] * 3,
+                      "url": [f"u{i}" for i in range(13)]})
+        out = salt_hot_hosts(t, {"hot": 10, "cold": 3}, threshold=5, n_salts=4)
+        salts = out["salt"].to_pylist()
+        assert set(salts[10:]) == {0}  # cold host unsalted
+        assert len(set(salts[:10])) > 1  # hot host spread
+
+
+class TestIncrementalFrontier:
+    def test_two_rounds_and_restore(self, ray_session, tmp_path):
+        from kit_ray.pipelines.streaming import FrontierState, crawl_round
+        from kit_ray.synth import CorpusConfig
+
+        cfg = CorpusConfig(seed=11, n_hosts=8, pages_per_host=20)
+        hosts = cfg.hosts()
+
+        state = FrontierState(n_seen_shards=4, n_polite_shards=2)
+        r1 = crawl_round(cfg, state, hosts[:5], host_rank_offset=0, concurrency=2)
+        assert len(r1) > 0
+        # Round 2 includes two repeat hosts: their URLs are already seen.
+        r2 = crawl_round(cfg, state, hosts[3:], host_rank_offset=5, concurrency=2)
+        repeat_urls = set(r1["url"])
+        assert not (set(r2["url"]) & repeat_urls)
+        # Hosts 5..7 did get crawled in round 2.
+        assert any(h in set(r2["host"]) for h in hosts[5:])
+
+        # Checkpoint, rebuild state, restore: repeats still recognized.
+        state.checkpoint(str(tmp_path))
+        state2 = FrontierState(n_seen_shards=4, n_polite_shards=2)
+        assert state2.restore(str(tmp_path))
+        r3 = crawl_round(cfg, state2, hosts[:5], host_rank_offset=0, concurrency=2)
+        assert len(r3) == 0  # everything from round 1 is seen
