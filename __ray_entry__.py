@@ -125,6 +125,21 @@ def _q_crawl_thumbnails(sf_dir: str):
     )
 
 
+def _q_seed_canonicalize(sf_dir: str):
+    """Entry-stage canonicalization over a messy seed-URL list:
+    parse/normalize, derive robots.txt URL (credentials stripped,
+    create.rs:15-37), drop wrong-scheme/unparseable rows."""
+    import ray.data as rd
+
+    from kit_ray.stages.crawl_stages import canonicalize_seeds
+    from kit_ray.synth import config_for_sf_dir
+
+    cfg = config_for_sf_dir(sf_dir)
+    urls = cfg.seed_urls()
+    ds = rd.from_items([{"url": u, "seed_rank": i} for i, u in enumerate(urls)])
+    return ds.map_batches(canonicalize_seeds, batch_format="pyarrow")
+
+
 def _q_sitemap_roundtrip(sf_dir: str):
     """Builder parity: write the traversal's entries back out as sharded
     <urlset> XML (<=50k records/file), re-parse every shard, and return
@@ -162,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_entries": _q_sitemap_entries,
         "crawl_image_features": _q_crawl_image_features,
         "crawl_thumbnails": _q_crawl_thumbnails,
+        "seed_canonicalize": _q_seed_canonicalize,
         "recrawl_due": Q.recrawl_due,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         # --- text analysis ---

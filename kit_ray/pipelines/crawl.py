@@ -97,6 +97,25 @@ def _politeness_ticks(group: pd.DataFrame) -> pd.DataFrame:
     return group
 
 
+def hosts_from_seed_urls(seed_urls: list[str], par: int = 4) -> list[str]:
+    """Derive the crawl's host list (in first-appearance order) from a
+    raw seed-URL list via the distributed canonicalize stage: parse ->
+    create_url -> host, drop invalid, rank hosts by min seed_rank."""
+    from ..stages.crawl_stages import canonicalize_seeds
+
+    ds = rd.from_items(
+        [{"url": u, "seed_rank": i} for i, u in enumerate(seed_urls)]
+    ).repartition(max(1, min(par * 2, len(seed_urls))))
+    canon = ds.map_batches(canonicalize_seeds, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    ranked = canon.groupby("host").aggregate(Min("seed_rank", alias_name="first_rank"))
+    df = ranked.to_pandas()
+    if df.empty:  # every seed invalid -> nothing to crawl
+        return []
+    return list(df.sort_values("first_rank")["host"])
+
+
 def crawl(
     cfg: CorpusConfig,
     out_dir: str,

@@ -72,6 +72,44 @@ def host_bucket(host: str, n_buckets: int) -> int:
     return stable_hash("bucket", host) % n_buckets
 
 
+def canonicalize_seeds(batch: pa.Table) -> pa.Table:
+    """Seed URLs -> (url, url_key, robots_url, host, seed_rank).
+
+    The SURVEY §3.2 entry step: parse (WHATWG subset), canonicalize
+    (fragment dropped), derive the robots.txt URL via ``create_url``
+    (create.rs:15-37 — http/https only, credentials stripped); rows
+    whose URL cannot yield a robots URL are dropped silently, matching
+    the reference's skip-on-invalid idiom."""
+    from ..kernels.robots import create_url
+    from ..kernels.urlkit import UrlError
+
+    urls = batch["url"].to_pylist()
+    ranks = batch["seed_rank"].to_pylist()
+    out = {"url": [], "url_key": [], "robots_url": [], "host": [], "seed_rank": []}
+    for u, r in zip(urls, ranks):
+        parsed = try_parse(u)
+        if parsed is None:
+            continue
+        try:
+            robots_url = create_url(parsed)
+        except UrlError:
+            continue
+        out["url"].append(str(parsed))
+        out["url_key"].append(canonical_url(u))
+        out["robots_url"].append(str(robots_url))
+        out["host"].append(parsed.host_port())
+        out["seed_rank"].append(r)
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "url_key": pa.array(out["url_key"], pa.string()),
+            "robots_url": pa.array(out["robots_url"], pa.string()),
+            "host": pa.array(out["host"], pa.string()),
+            "seed_rank": pa.array(out["seed_rank"], pa.int64()),
+        }
+    )
+
+
 class RobotsFetchParse:
     """(host, host_rank) -> robots_cache row.
 
@@ -89,15 +127,16 @@ class RobotsFetchParse:
 
         out = {k: [] for k in ("host", "host_rank", "always", "crawl_delay_s",
                                "sitemaps", "policy_json")}
+        from ..kernels.robots import create_url
+        from ..kernels.urlkit import Url
+
         for host, rank in zip(
             batch["host"].to_pylist(), batch["host_rank"].to_pylist()
         ):
             access = self.cfg.access(host)
-            blob = (
-                self.cfg.fetch(f"https://{host}/robots.txt")
-                if access == "successful"
-                else None
-            )
+            # create_url derives the robots.txt URL (create.rs:15-37).
+            robots_url = str(create_url(Url.parse(f"https://{host}/")))
+            blob = self.cfg.fetch(robots_url) if access == "successful" else None
             if blob is None and access == "successful":
                 access = "unavailable"
             robots = Robots.from_access(access, blob, USER_AGENT)

@@ -54,6 +54,29 @@ class CorpusConfig:
     def hosts(self) -> list[str]:
         return [f"host{i:05d}.example" for i in range(self.n_hosts)]
 
+    def seed_urls(self) -> list[str]:
+        """A realistic messy seed list: one URL per host in host order,
+        with credentialed URLs, duplicate aliases, and invalid rows
+        (wrong scheme / unparseable) sprinkled in — exercising the
+        canonicalize/create_url entry stage (create.rs:15-37). The
+        per-host FIRST valid URL defines host_rank, so the derived host
+        order equals ``hosts()``."""
+        out = []
+        for i, h in enumerate(self.hosts()):
+            if i % 5 == 1:
+                out.append(f"https://user:pass@{h}/deep/page.html")  # creds stripped
+            elif i % 5 == 2:
+                out.append(f"HTTPS://{h.upper()}/")  # case-normalized
+            else:
+                out.append(f"https://{h}/")
+            if i % 7 == 3:
+                out.append(f"https://{h}/alias#frag")  # same-host duplicate
+            if i % 6 == 0:
+                out.append(f"ftp://{h}/not-crawlable")  # wrong scheme: dropped
+            if i % 9 == 4:
+                out.append("not a url at all")  # unparseable: dropped
+        return out
+
     # -- per-host derived properties -------------------------------------
 
     def layout(self, host: str) -> str:
