@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": Q.docs_by_lang,
         "tpch_q1": Q.tpch_q1,
         "top_customers": Q.top_customers,
+        "order_revenue_by_priority": Q.order_revenue_by_priority,
+        "orders_by_priority": Q.orders_by_priority,
+        "supplier_by_region": Q.supplier_by_region,
         "events_hourly": Q.events_hourly,
         "user_sessions": Q.user_sessions,
     }
@@ -249,6 +252,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_mktsegment
             ORDER BY total_spent DESC, c_custkey
             LIMIT 10
+        """,
+        "order_revenue_by_priority": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "orders_by_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "supplier_by_region": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS sum_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "events_hourly": """
             SELECT event_type,

@@ -381,6 +381,78 @@ def top_customers(sf_dir: str, n: int = 10):
     )
 
 
+def order_revenue_by_priority(sf_dir: str):
+    """Large-x-large distributed hash join (Dataset.join, hash-partitioned
+    on the key) of lineitem with orders, then partial-agg by priority
+    inside map_batches before a 5-group final aggregate."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby("o_orderpriority", sort=False)["rev"].agg(["sum", "count"])
+        g = g.reset_index().rename(columns={"sum": "revenue", "count": "n_items"})
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = joined.map_batches(partial, batch_format="pandas").groupby(
+        "o_orderpriority"
+    ).aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out
+
+
+def orders_by_priority(sf_dir: str):
+    """Plain distributed count per priority (pre-agg pattern)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False).size().rename("n")
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    out = _read(sf_dir, "orders", ["o_orderpriority"]).map_batches(
+        partial, batch_format="pandas"
+    ).groupby("o_orderpriority").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def supplier_by_region(sf_dir: str):
+    """Three-way dimension join (region ⋈ nation ⋈ supplier) via
+    broadcast pandas merges — dims are the small side; no shuffle."""
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dim[["n_nationkey", "r_name"]])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        m = df.merge(d, left_on="s_nationkey", right_on="n_nationkey")
+        g = m.groupby("r_name", sort=False)["s_acctbal"].agg(["count", "sum"])
+        return g.reset_index().rename(columns={"count": "n_suppliers",
+                                               "sum": "sum_acctbal"})
+
+    from ray.data.aggregate import Sum
+
+    out = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        partial, batch_format="pandas"
+    ).groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("sum_acctbal", alias_name="sum_acctbal"),
+    ).to_pandas()
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["sum_acctbal"] = out["sum_acctbal"].round(2)
+    return out
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour windows per event_type: partial per-batch agg ->
     small groupby. n int64; sum_value rounded to 3dp."""
