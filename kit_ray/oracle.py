@@ -48,7 +48,8 @@ class OracleResult:
     robots_cache: dict[str, dict] = field(default_factory=dict)
 
 
-def run_oracle(cfg: CorpusConfig, with_images: bool = True) -> OracleResult:
+def run_oracle(cfg: CorpusConfig, with_images: bool = True,
+               budget_per_host: int | None = None) -> OracleResult:
     res = OracleResult()
     hosts = cfg.hosts()
 
@@ -102,13 +103,20 @@ def run_oracle(cfg: CorpusConfig, with_images: bool = True) -> OracleResult:
     by_host: dict[str, list[dict]] = {}
     for row in surviving:
         by_host.setdefault(row["host"], []).append(row)
+    dropped_by_budget: set[int] = set()
     for host, rows in by_host.items():
         pol = policies.get(host)
         delay = pol.crawl_delay() if pol else None
         d = float(delay) if delay else 0.0
         rows.sort(key=lambda r: (r["host_rank"], r["stack_rank"], r["pos"]))
+        if budget_per_host is not None:
+            for row in rows[budget_per_host:]:
+                dropped_by_budget.add(id(row))
+            rows = rows[:budget_per_host]
         for i, row in enumerate(rows):
             row["tick"] = i * d
+    if budget_per_host is not None:
+        surviving = [r for r in surviving if id(r) not in dropped_by_budget]
 
     # 6. final crawl order.
     surviving.sort(key=lambda r: (r["tick"], r["host_rank"], r["stack_rank"], r["pos"]))

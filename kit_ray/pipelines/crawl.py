@@ -18,8 +18,9 @@ Kill the job anywhere and re-run — output is byte-identical to an
 uninterrupted run (pinned by tests/test_crawl_e2e.py).
 
 Shuffles (exactly three, SURVEY §4): the range-sort on url_key for the
-seen set (dedup_first_sorted), groupby(host) for politeness, and the
-final sort of the (small) schedule metadata. Image rows are written unsorted with their order
+seen set (dedup_first_sorted), the host-sort for politeness ticks
+(politeness_ticks_sorted), and the final sort of the (small) schedule
+metadata. Image rows are written unsorted with their order
 keys attached — consumers needing global order sort the metadata, not
 the payload bytes.
 """
@@ -49,8 +50,11 @@ from ..stages.crawl_stages import (
 from ..synth import CorpusConfig
 
 
-def _digest(cfg: CorpusConfig, n_buckets: int) -> str:
-    payload = json.dumps({"cfg": asdict(cfg), "n_buckets": n_buckets}, sort_keys=True)
+def _digest(cfg: CorpusConfig, n_buckets: int, budget_per_host=None) -> str:
+    payload = json.dumps(
+        {"cfg": asdict(cfg), "n_buckets": n_buckets, "budget": budget_per_host},
+        sort_keys=True,
+    )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -97,6 +101,39 @@ def _politeness_ticks(group: pd.DataFrame) -> pd.DataFrame:
     return group
 
 
+def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
+    """Vectorized politeness schedule: sort by (host, discovery order),
+    then a per-block pandas ``groupby.cumcount`` assigns each host's
+    i-th URL tick ``i * crawl_delay_s``; ``budget_per_host`` truncates
+    each host's queue (the north rule's politeness budget).
+
+    Like dedup_first_sorted this avoids Ray's ~1 ms/group map_groups
+    cost (fatal at >10^4 hosts). The cumcount needs every host's rows in
+    one block: at test scale a single coalesced block; at cluster scale
+    the same two-pass shape as dedup — per-block cumcounts plus a tiny
+    broadcast of per-(block, host) counts to offset later blocks — or
+    host-range-aligned repartitioning; documented, not needed here.
+    """
+
+    def ticks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "host_rank", "stack_rank", "pos"],
+                            kind="stable")
+        idx = df.groupby("host", sort=False).cumcount()
+        if budget_per_host is not None:
+            df = df[idx < budget_per_host]
+            idx = idx[idx < budget_per_host]
+        df = df.assign(
+            tick=idx.to_numpy(dtype="float64") * df["crawl_delay_s"].to_numpy()
+        )
+        return df
+
+    return (
+        ds.sort(["host", "host_rank", "stack_rank", "pos"])
+        .repartition(1)
+        .map_batches(ticks, batch_format="pandas", batch_size=None)
+    )
+
+
 def hosts_from_seed_urls(seed_urls: list[str], par: int = 4) -> list[str]:
     """Derive the crawl's host list (in first-appearance order) from a
     raw seed-URL list via the distributed canonicalize stage: parse ->
@@ -125,10 +162,11 @@ def crawl(
     concurrency: int | None = None,
     fetch_batch_size: int = 128,
     only_buckets: list[int] | None = None,
+    budget_per_host: int | None = None,
 ) -> dict:
     """Run (or resume) the full crawl; returns a summary dict."""
     par = concurrency or _default_parallelism()
-    digest = _digest(cfg, n_buckets)
+    digest = _digest(cfg, n_buckets, budget_per_host)
     os.makedirs(out_dir, exist_ok=True)
     summary: dict = {"digest": digest, "out_dir": out_dir, "format": storage.FORMAT}
 
@@ -188,11 +226,10 @@ def crawl(
             num_cpus=1,
         )
         deduped = dedup_first_sorted(gated)
-        scheduled = deduped.groupby("host").map_groups(
-            _politeness_ticks, batch_format="pandas"
-        )
+        scheduled = politeness_ticks_sorted(deduped, budget_per_host)
         final = scheduled.sort(["tick", "host_rank", "stack_rank", "pos"])
         final.write_parquet(order_dir)
+        os.makedirs(order_dir, exist_ok=True)  # zero-row writes create nothing
         storage.write_manifest(
             order_dir, stage="crawl_order", digest=digest, rows=pq_count(order_dir),
             schema=["url", "host", "tick", "host_rank", "stack_rank", "pos"],
@@ -204,7 +241,9 @@ def crawl(
     images_dir = os.path.join(out_dir, "images")
     os.makedirs(images_dir, exist_ok=True)
     order_tbl = storage_read_parquet_table(order_dir)
-    hosts_all = order_tbl["host"].to_pylist()
+    hosts_all = (
+        order_tbl["host"].to_pylist() if "host" in order_tbl.column_names else []
+    )
     bucket_of = {h: host_bucket(h, n_buckets) for h in set(hosts_all)}
     rows_per_bucket: dict[int, int] = {}
     for h in hosts_all:
@@ -286,9 +325,22 @@ def _pads(dir_path: str):
     )
 
 
+def _has_parquet(dir_path: str) -> bool:
+    for _root, _dirs, files in os.walk(dir_path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def pq_count(dir_path: str) -> int:
+    # An empty pipeline output writes no files at all (e.g. a zero
+    # politeness budget): treat as zero rows, not an error.
+    if not _has_parquet(dir_path):
+        return 0
     return _pads(dir_path).count_rows()
 
 
 def storage_read_parquet_table(dir_path: str) -> pa.Table:
+    if not _has_parquet(dir_path):
+        return pa.table({})
     return _pads(dir_path).to_table()

@@ -109,3 +109,20 @@ def test_stage_checkpoints_skip(ray_session, tmp_path):
     s = crawl(CFG, out, concurrency=3, n_buckets=8)
     assert s["complete"]
     assert time.time() - t0 < 5.0  # pure bookkeeping, no Ray execution
+
+
+def test_politeness_budget_bit_match(ray_session, tmp_path):
+    """The north rule's politeness budget: per-host queue truncated to B
+    — engine and oracle agree on who survives and on every tick."""
+    from kit_ray.oracle import run_oracle
+
+    B = 7
+    out = str(tmp_path / "budget")
+    crawl(CFG, out, concurrency=3, n_buckets=8, budget_per_host=B)
+    df = _engine_order(out)
+    o = run_oracle(CFG, with_images=False, budget_per_host=B)
+    got = list(zip(df["url"], df["tick"], df["host_rank"], df["stack_rank"], df["pos"]))
+    want = [(r["url"], r["tick"], r["host_rank"], r["stack_rank"], r["pos"])
+            for r in o.crawl_order]
+    assert got == want
+    assert df.groupby("host").size().max() <= B
