@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 
 from .kernels.robots import Robots
 from .kernels.traverse import traverse_host
-from .kernels.urlkit import Url, canonical_url, try_parse
+from .kernels.urlkit import canonical_url, try_parse
 from .synth import USER_AGENT, CorpusConfig
 
 

@@ -44,7 +44,6 @@ from ..stages.crawl_stages import (
     HostTraverse,
     PageFetch,
     RobotsFetchParse,
-    RobotsGate,
     host_bucket,
 )
 from ..synth import CorpusConfig

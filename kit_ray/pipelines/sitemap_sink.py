@@ -14,10 +14,9 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-import pyarrow as pa
 
 from ..kernels.sitemap import RECORD_LIMIT, Entry, build_plain, build_urlset
-from ..kernels.urlkit import Url, try_parse
+from ..kernels.urlkit import try_parse
 
 
 class UrlsetShardWriter:

@@ -15,7 +15,6 @@ spreads fetch/parse compute across tasks, never the schedule authority.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.imagegen import stable_hash
