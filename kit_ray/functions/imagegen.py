@@ -162,16 +162,36 @@ def make_caption(url: str, seed: int) -> str:
     return f"a photo of the {adj} {noun}"
 
 
+def q6_encode(pixels: np.ndarray) -> bytes:
+    """Deterministic LOSSY codec: 6-bit quantization per channel. Stands
+    in for jpeg/webp (no lossy codec libs in this container) so the
+    PSNR >= 40 dB invariant is exercised for real: uniform 4-level
+    quantization error gives PSNR ~ 20*log10(255/(4/sqrt(12))) ≈ 47 dB.
+    """
+    h, w, _ = pixels.shape
+    return struct.pack(">II", w, h) + (pixels >> 2).astype(np.uint8).tobytes()
+
+
+def q6_decode(data: bytes) -> np.ndarray:
+    w, h = struct.unpack(">II", data[:8])
+    q = np.frombuffer(data, np.uint8, w * h * 3, 8).reshape(h, w, 3)
+    # Reconstruct mid-rise: v*4 + 2 keeps error in [-2, 2).
+    return (q.astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
+
+
 def make_image_row(url: str, seed: int, scale: int = 1) -> dict:
     """The full image+caption row for a fetched URL, matching
     BASELINE.json input_hint exactly: (image_id, bytes, w, h, fmt,
-    caption, phash). fmt alternates png/raw (both lossless) so the
-    decode path is exercised without a lossy codec in the sandbox."""
+    caption, phash). fmt rotates raw/q6/png — q6 is the LOSSY path
+    (decoded pixels differ from the source; PSNR >= 40 dB invariant),
+    raw/png are lossless (exact pixel equality)."""
     px = make_pixels(url, seed, scale)
     h, w, _ = px.shape
     k = stable_hash("fmt", str(seed), url)
     if k % 4 == 0:
         fmt, payload = "raw", px.tobytes()
+    elif k % 4 == 1:
+        fmt, payload = "q6", q6_encode(px)
     else:
         fmt, payload = "png", png_encode(px)
     return {
@@ -194,4 +214,6 @@ def decode_image(row: dict) -> np.ndarray:
         return np.frombuffer(row["bytes"], np.uint8).reshape(row["h"], row["w"], 3)
     if row["fmt"] == "png":
         return png_decode(row["bytes"])
+    if row["fmt"] == "q6":
+        return q6_decode(row["bytes"])
     raise NotImplementedError(f"codec for {row['fmt']!r} not available in this sandbox")

@@ -57,19 +57,30 @@ def test_url_seen_set_bit_match(engine_out, oracle):
 
 
 def test_images_bit_match(engine_out, oracle):
+    from kit_ray.functions.imagegen import make_pixels
+
     t = storage_read_parquet_table(os.path.join(engine_out, "images"))
     eng = {r["url"]: r for r in t.to_pylist()}
     assert len(eng) == len(oracle.images)
+    fmts = set()
     for ref in oracle.images:
         row = eng[ref["url"]]
         assert row["caption"] == ref["caption"]
         assert row["phash"] == ref["phash"]
         assert (row["w"], row["h"], row["fmt"]) == (ref["w"], ref["h"], ref["fmt"])
+        assert row["bytes"] == ref["bytes"]  # engine rows == reference rows
+        fmts.add(row["fmt"])
         a = decode_image(row)
         b = decode_image(ref)
-        # Lossless corpus: exact; (PSNR>=40dB is the lossy-format bound).
         assert np.array_equal(a, b)
-        assert psnr(a, b) == float("inf")
+        # Per-row invariant vs the SOURCE pixels: exact for lossless
+        # formats, PSNR >= 40 dB for the lossy one (input_hint).
+        src = make_pixels(ref["url"], CFG.seed)
+        if row["fmt"] in ("raw", "png"):
+            assert np.array_equal(a, src)
+        else:
+            assert psnr(a, src) >= 40.0
+    assert {"raw", "png", "q6"} <= fmts  # all three codec paths exercised
 
 
 def test_resume_is_byte_identical(ray_session, tmp_path, oracle):
