@@ -176,3 +176,28 @@ class TestImageCodec:
         a = make_image_row("https://e.com/same", 7)
         b = make_image_row("https://e.com/same", 7)
         assert a == b
+
+
+class TestLshRecall:
+    def test_lsh_matches_exhaustive_ground_truth(self, ray_session):
+        """The distributed MinHash-LSH pipeline must find EXACTLY the
+        pairs an exhaustive all-pairs Jaccard scan finds at the same
+        threshold (100% recall and precision on this corpus — 25 true
+        near-dup pairs among 500 documents = 124,750 candidate pairs)."""
+        import pyarrow.parquet as pq
+
+        from kit_ray.pipelines.dataops import minhash_lsh_pairs
+
+        df = pq.read_table("/root/testdata/sf0.01/documents.parquet").to_pandas()
+        sh = {r.doc_id: D.word_shingles(r.text) for r in df.itertuples()}
+        ids = sorted(sh)
+        truth = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if D.jaccard(sh[a], sh[b]) >= 0.8
+        }
+        got = minhash_lsh_pairs("/root/testdata/sf0.01", threshold=0.8)
+        got_pairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
+        assert got_pairs == truth
+        assert len(truth) > 0
