@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 HEADLINE_QUERIES = [
+    "crawl_image_features",
     "tpch_q1",
     "token_counts",
     "dedup_exact",

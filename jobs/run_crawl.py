@@ -40,6 +40,8 @@ def main() -> int:
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--concurrency", type=int, default=None)
+    p.add_argument("--budget-per-host", type=int, default=None,
+                   help="politeness budget: max pages fetched per host")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only used when this process owns the Ray session")
     p.add_argument("--seed-urls", action="store_true",
@@ -82,6 +84,7 @@ def main() -> int:
         resume=not args.no_resume,
         n_buckets=args.n_buckets,
         concurrency=args.concurrency,
+        budget_per_host=args.budget_per_host,
     )
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))

@@ -91,15 +91,6 @@ def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (8, 1)):
     return ds
 
 
-def _politeness_ticks(group: pd.DataFrame) -> pd.DataFrame:
-    """Virtual-clock token bucket for one host: i-th fetch at i*delay
-    (Crawl-Delay seconds, parser.rs:99-111; no delay -> 0)."""
-    group = group.sort_values(["host_rank", "stack_rank", "pos"], kind="stable")
-    d = float(group["crawl_delay_s"].iloc[0] or 0.0)
-    group["tick"] = d * pd.RangeIndex(len(group)).to_numpy(dtype="float64")
-    return group
-
-
 def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
     """Vectorized politeness schedule: sort by (host, discovery order),
     then a per-block pandas ``groupby.cumcount`` assigns each host's
@@ -177,7 +168,7 @@ def crawl(
         hosts = cfg.hosts()
         seeds = rd.from_items(
             [{"host": h, "host_rank": i} for i, h in enumerate(hosts)]
-        ).repartition(min(len(hosts), par * 2))
+        ).repartition(max(1, min(len(hosts), 8)))  # matches the small robots pool
         robots_mat = seeds.map_batches(
             RobotsFetchParse,
             fn_constructor_kwargs={"cfg": cfg},
@@ -212,7 +203,11 @@ def crawl(
     if not (resume and storage.valid_checkpoint(order_dir, digest)):
         robots_ds = robots_mat if robots_mat is not None else rd.read_parquet(robots_dir)
         # Traversal with the robots gate FUSED into the same actor pool
-        # (policies broadcast once; one pool, one hop).
+        # (policies broadcast once; one pool, one hop). Spread the tiny
+        # host table first: map parallelism is capped by input blocks.
+        robots_ds = robots_ds.repartition(
+            max(1, min(summary["robots_rows"], par * 2))
+        )
         gated = robots_ds.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
             HostTraverse,
             fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},

@@ -1,7 +1,7 @@
 """Per-host politeness: token-bucket authority actors + skew salting.
 
 The batch pipeline computes deterministic virtual-clock ticks with a
-``groupby(host)`` (pipelines/crawl.py:_politeness_ticks). This module is
+host-sorted cumcount (pipelines/crawl.py:politeness_ticks_sorted). This module is
 the STREAMING counterpart from SURVEY §4: when URLs for one host arrive
 incrementally across rounds, a single per-host authority must hand out
 monotone fetch slots honoring Crawl-Delay — mutable state the Dataset
