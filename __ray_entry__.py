@@ -107,7 +107,7 @@ def _q_crawl_image_features(sf_dir: str):
         os.path.join(out, "images"), file_extensions=["parquet"]
     )
     return imgs.map_batches(
-        ImageDecode, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        ImageDecode, batch_format="pyarrow", batch_size=128, concurrency=(2, 8)
     )
 
 
@@ -121,7 +121,7 @@ def _q_crawl_thumbnails(sf_dir: str):
         os.path.join(out, "images"), file_extensions=["parquet"]
     )
     return imgs.map_batches(
-        ImageResize, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        ImageResize, batch_format="pyarrow", batch_size=128, concurrency=(2, 8)
     )
 
 

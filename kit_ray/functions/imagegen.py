@@ -96,6 +96,11 @@ def png_decode(data: bytes) -> np.ndarray:
             break
     raw = zlib.decompress(idat)
     stride = w * 3
+    # Fast path: every row filter is 0 (what png_encode writes) — the
+    # whole image decodes with one reshape, no per-row Python.
+    mat = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    if not mat[:, 0].any():
+        return mat[:, 1:].reshape(h, w, 3).copy()
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
     for y in range(h):
