@@ -5,8 +5,8 @@ auto.rs:114-211) as a pure-Python generator over in-memory blobs:
 
 - the pending sitemap list is a LIFO stack (``Vec::pop``, auto.rs:199);
 - a fetched blob is sniffed by its root tag (auto.rs:200-204);
-- an index record is expanded by immediately fetching the child and
-  replacing the active slot (auto.rs:186-197);
+- an index record is expanded by fetching the child and parsing it in
+  place (auto.rs:186-197);
 - a child that is itself an index is DROPPED — one level of index
   expansion only (auto.rs:190-193);
 - fetch errors and malformed sitemaps are silently skipped
@@ -20,10 +20,27 @@ bug that loops forever when the last active parser is an entry parser).
 We implement the evident intent: each arm clears its OWN slot on EOF.
 SURVEY.md §3.2 documents this contract.
 
-This kernel is used both by the single-process oracle
-(kit_ray/oracle.py) and by the per-host Ray traversal stage — per-host
-traversal is inherently sequential in the protocol (LIFO order +
-politeness); the engine's parallelism is ACROSS hosts.
+Order key: each emitted entry carries ``(stack_rank, pos)`` where
+
+    stack_rank = root_order * 2^20 + child_slot
+    root_order = LIFO pop sequence of the robots-listed sitemap (the
+                 LAST ``Sitemap:`` line is root_order 0, auto.rs:199)
+    child_slot = 0 for a plain/urlset root; 1 + the child record's
+                 document position within a sitemapindex (dropped or
+                 failed children keep their slot — the key depends only
+                 on the LISTINGS, never on fetch outcomes)
+    pos        = record document order within the blob
+
+Sorting by ``(stack_rank, pos)`` reproduces the reference's sequential
+emission order exactly, while allowing the engine to fetch+parse leaf
+sitemaps in PARALLEL (the skew-resilient two-phase traversal in
+stages/crawl_stages.py) — the listing-only rank is what makes the
+parallel schedule order-equivalent to the sequential drive loop.
+2^20 bounds child count per index (real cap is 50,000 records).
+
+This kernel is the sequential form, used by the oracle and by
+single-host callers; the Ray engine's two-phase expansion must produce
+the identical (stack_rank, pos)-keyed set (pinned by tests).
 """
 
 from __future__ import annotations
@@ -43,16 +60,11 @@ from .urlkit import Url
 # fetcher: Url -> bytes | None (None == fetch error -> sitemap skipped).
 Fetcher = Callable[[Url], Optional[bytes]]
 
+RANK_STRIDE = 1 << 20  # max child slots per index (record cap is 50k)
+
 
 class TraversalEntry:
-    """An Entry plus its deterministic order key within one host's
-    traversal: (stack_rank, pos).
-
-    ``stack_rank`` increments every time a sitemap blob starts being
-    consumed (in traversal order); ``pos`` is the record's document
-    order within that blob. Sorting all emitted entries by
-    (stack_rank, pos) reproduces the reference's emission order exactly.
-    """
+    """An Entry plus its deterministic order key (see module docstring)."""
 
     __slots__ = ("entry", "source_sitemap", "stack_rank", "pos")
 
@@ -63,9 +75,9 @@ class TraversalEntry:
         self.pos = pos
 
 
-def _iter_records(fmt: str, blob: bytes) -> Iterator[Entry]:
-    """Entries of one sitemap blob in document order; limit truncation
-    keeps the already-emitted prefix (auto.rs:163 skip-on-error)."""
+def iter_leaf_records(fmt: str, blob: bytes) -> Iterator[Entry]:
+    """Entries of one leaf sitemap blob in document order; limit
+    truncation keeps the already-emitted prefix (auto.rs:163)."""
     try:
         if fmt == "plain":
             for url in parse_plain(blob):
@@ -76,26 +88,19 @@ def _iter_records(fmt: str, blob: bytes) -> Iterator[Entry]:
         return
 
 
-def traverse_host(
-    sitemaps: list[Url],
-    fetcher: Fetcher,
-    max_sitemaps: int = 10_000,
-) -> Iterator[TraversalEntry]:
-    """Drive the sitemap stack of one host, yielding entries in the
-    reference traversal order.
+def expand_sitemaps(
+    sitemaps: list[Url], fetcher: Fetcher, max_sitemaps: int = 100_000
+):
+    """Phase A of traversal: resolve the LIFO root list into LEAF work
+    items ``(leaf_url, stack_rank, blob_or_None, child_of_index)``.
 
-    ``sitemaps`` is the robots.txt-provided list in document order; the
-    reference pops from the END (LIFO), so the LAST ``Sitemap:`` line is
-    traversed first. ``max_sitemaps`` bounds runaway corpora (the
-    reference has no such cap; the cap is ours and is far above any real
-    host's sitemap count).
+    Roots are fetched and sniffed here (their blob rides along so it is
+    fetched once); an index root contributes its children as unfetched
+    leaves — a child's format is unknown until its own fetch, so the
+    nested-index drop (auto.rs:190-193) happens at parse time.
     """
-    stack = list(sitemaps)
-    stack_rank = 0
     fetched = 0
-
-    while stack:
-        sitemap_url = stack.pop()  # LIFO (auto.rs:199)
+    for root_order, sitemap_url in enumerate(reversed(sitemaps)):  # LIFO
         if fetched >= max_sitemaps:
             return
         fetched += 1
@@ -103,34 +108,38 @@ def traverse_host(
         if blob is None:
             continue  # fetch error -> skipped (auto.rs:163)
         fmt = sniff_format(blob)
-
+        base = root_order * RANK_STRIDE
         if fmt in ("plain", "entry"):
-            stack_rank += 1
-            rank = stack_rank
-            for pos, rec in enumerate(_iter_records(fmt, blob)):
-                yield TraversalEntry(rec, str(sitemap_url), rank, pos)
+            yield (sitemap_url, base, blob, False)
             continue
-
-        # Index: expand each child immediately, one level only
-        # (auto.rs:186-197). Children are processed in document order —
-        # the reference fetches each child as soon as its record is read.
         try:
             children = list(parse_sitemapindex(blob))
         except LimitError:
             children = []
-        for child in children:
+        for slot, child in enumerate(children, start=1):
+            yield (child.location, base + slot, None, True)
+
+
+def traverse_host(
+    sitemaps: list[Url],
+    fetcher: Fetcher,
+    max_sitemaps: int = 100_000,
+) -> Iterator[TraversalEntry]:
+    """Sequential drive of one host's sitemap list, yielding entries in
+    the reference traversal order with their (stack_rank, pos) keys."""
+    fetched = 0
+    for leaf_url, rank, blob, child_of_index in expand_sitemaps(
+        sitemaps, fetcher, max_sitemaps
+    ):
+        if blob is None:
             if fetched >= max_sitemaps:
                 return
             fetched += 1
-            child_blob = fetcher(child.location)
-            if child_blob is None:
+            blob = fetcher(leaf_url)
+            if blob is None:
                 continue
-            child_fmt = sniff_format(child_blob)
-            if child_fmt == "index":
-                continue  # nested index dropped (auto.rs:190-193)
-            stack_rank += 1
-            rank = stack_rank
-            for pos, rec in enumerate(_iter_records(child_fmt, child_blob)):
-                yield TraversalEntry(rec, str(child.location), rank, pos)
-
-    return
+        fmt = sniff_format(blob)
+        if fmt == "index":
+            continue  # nested index dropped (auto.rs:190-193)
+        for pos, rec in enumerate(iter_leaf_records(fmt, blob)):
+            yield TraversalEntry(rec, str(leaf_url), rank, pos)

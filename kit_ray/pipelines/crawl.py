@@ -41,9 +41,10 @@ import ray.data as rd
 
 from ..sources import storage
 from ..stages.crawl_stages import (
-    HostTraverse,
+    HostExpand,
     PageFetch,
     RobotsFetchParse,
+    SitemapParse,
     host_bucket,
 )
 from ..synth import CorpusConfig
@@ -202,20 +203,34 @@ def crawl(
     t0 = time.time()
     if not (resume and storage.valid_checkpoint(order_dir, digest)):
         robots_ds = robots_mat if robots_mat is not None else rd.read_parquet(robots_dir)
-        # Traversal with the robots gate FUSED into the same actor pool
-        # (policies broadcast once; one pool, one hop). Spread the tiny
-        # host table first: map parallelism is capped by input blocks.
+        # Two-phase skew-resilient traversal: phase A expands each
+        # host's sitemap DAG into leaf work items (cheap, per host);
+        # phase B fetches+parses LEAF sitemaps in parallel across all
+        # hosts — a skewed host's hundred child sitemaps spread over
+        # the whole pool instead of serializing in one actor. Order
+        # stays exact: stack_rank derives from the listings alone
+        # (kernels/traverse.py). The robots gate is fused into the
+        # parse pool (one pool, one hop). Spread the tiny inputs first:
+        # map parallelism is capped by input block count.
         robots_ds = robots_ds.repartition(
             max(1, min(summary["robots_rows"], par * 2))
         )
-        gated = robots_ds.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
-            HostTraverse,
+        leaves = robots_ds.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
+            HostExpand,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, max(2, par // 3)),
+            num_cpus=1,
+        )
+        gated = leaves.repartition(par * 2).map_batches(
+            SitemapParse,
             fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},
             batch_format="pyarrow",
-            batch_size=2,  # a batch is a unit of host-parallelism
-            # Min sized to par/3 (bounded): autoscaling ramp-up from a
-            # tiny pool otherwise dominates short stages; cap below par
-            # so shuffle/write tasks never starve.
+            batch_size=4,  # a batch is a unit of sitemap-parallelism
+            # Min sized ~par/2 (bounded below par so shuffle/write tasks
+            # never starve); autoscaling ramp from 1 would dominate
+            # short stages.
             concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
             num_cpus=1,
         )

@@ -204,6 +204,97 @@ class HostTraverse:
         return out
 
 
+LEAF_SCHEMA = pa.schema(
+    [
+        ("sitemap_url", pa.string()),
+        ("host_rank", pa.int64()),
+        ("stack_rank", pa.int32()),
+        ("blob", pa.binary()),
+        ("child_of_index", pa.bool_()),
+    ]
+)
+
+
+class HostExpand:
+    """Phase A of the skew-resilient traversal: (host, host_rank,
+    sitemaps) -> one row per LEAF sitemap with its deterministic
+    listing-derived stack_rank (kernels/traverse.py::expand_sitemaps).
+
+    Only root/index blobs are fetched here (cheap); leaf sitemaps —
+    where the bytes and records are — become independent work items, so
+    a skewed host with hundreds of child sitemaps fans out across the
+    whole SitemapParse pool instead of serializing in one actor."""
+
+    def __init__(self, cfg: CorpusConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.traverse import expand_sitemaps
+
+        rows = {name: [] for name in LEAF_SCHEMA.names}
+        fetcher = lambda u: self.cfg.fetch(str(u))
+        for host, rank, sitemaps in zip(
+            batch["host"].to_pylist(),
+            batch["host_rank"].to_pylist(),
+            batch["sitemaps"].to_pylist(),
+        ):
+            urls = [try_parse(s) for s in (sitemaps or [])]
+            urls = [u for u in urls if u is not None]
+            for leaf_url, srank, blob, child in expand_sitemaps(urls, fetcher):
+                rows["sitemap_url"].append(str(leaf_url))
+                rows["host_rank"].append(rank)
+                rows["stack_rank"].append(srank)
+                rows["blob"].append(blob)
+                rows["child_of_index"].append(child)
+        return pa.table(rows, schema=LEAF_SCHEMA)
+
+
+class SitemapParse:
+    """Phase B: one leaf sitemap row -> its entry rows (fetching the
+    blob if phase A didn't carry it; nested-index children dropped at
+    sniff, auto.rs:190-193). With ``policies_ref`` the robots gate is
+    fused in, as in HostTraverse."""
+
+    def __init__(self, cfg: CorpusConfig, policies_ref=None):
+        self.cfg = cfg
+        self.gate = RobotsGate(policies_ref) if policies_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.sitemap import sniff_format
+        from ..kernels.traverse import iter_leaf_records
+
+        rows = {name: [] for name in ENTRY_SCHEMA.names}
+        for url_s, rank, srank, blob, child in zip(
+            batch["sitemap_url"].to_pylist(),
+            batch["host_rank"].to_pylist(),
+            batch["stack_rank"].to_pylist(),
+            batch["blob"].to_pylist(),
+            batch["child_of_index"].to_pylist(),
+        ):
+            if blob is None:
+                blob = self.cfg.fetch(url_s)
+                if blob is None:
+                    continue  # fetch error -> skipped
+            fmt = sniff_format(blob)
+            if fmt == "index":
+                continue  # nested index dropped
+            for pos, rec in enumerate(iter_leaf_records(fmt, blob)):
+                e = rec
+                rows["url"].append(str(e.location))
+                rows["host"].append(e.location.host_port())
+                rows["host_rank"].append(rank)
+                rows["stack_rank"].append(srank)
+                rows["pos"].append(pos)
+                rows["lastmod"].append(e.modified)
+                rows["changefreq"].append(e.frequency)
+                rows["priority"].append(e.priority)
+                rows["source_sitemap"].append(url_s)
+        out = pa.table(rows, schema=ENTRY_SCHEMA)
+        if self.gate is not None:
+            out = self.gate(out)
+        return out
+
+
 class RobotsGate:
     """Filter entries by the URL's OWN host policy; attach the canonical
     URL-seen key and that host's crawl-delay.

@@ -50,6 +50,12 @@ class CorpusConfig:
     pages_per_host: int = 50
     urls_per_sitemap: int = 25  # split point for index layouts
     image_scale: int = 1  # payload-size multiplier (benchmark knob)
+    # Skew (FIXTURES.md §5): every ``hot_every``-th host carries
+    # ``hot_factor`` x the pages — 0 disables. Hot hosts use the index
+    # layout so their URLs spread over many child sitemaps, which the
+    # two-phase traversal parallelizes across the pool.
+    hot_every: int = 0
+    hot_factor: int = 20
 
     def hosts(self) -> list[str]:
         return [f"host{i:05d}.example" for i in range(self.n_hosts)]
@@ -79,7 +85,16 @@ class CorpusConfig:
 
     # -- per-host derived properties -------------------------------------
 
+    def is_hot(self, host: str) -> bool:
+        i = int(host[4:9])
+        return bool(self.hot_every) and i % self.hot_every == 0
+
+    def pages_for(self, host: str) -> int:
+        return self.pages_per_host * (self.hot_factor if self.is_hot(host) else 1)
+
     def layout(self, host: str) -> str:
+        if self.is_hot(host):
+            return "index"  # many child sitemaps -> parallel phase B
         return _LAYOUTS[stable_hash("layout", str(self.seed), host) % len(_LAYOUTS)]
 
     def crawl_delay(self, host: str) -> int | None:
@@ -102,7 +117,7 @@ class CorpusConfig:
         order. Mix of allowed pages, /private/ pages (robots-blocked),
         an in-host duplicate and a cross-host link."""
         urls = []
-        for j in range(self.pages_per_host):
+        for j in range(self.pages_for(host)):
             if j % 10 == 7:
                 urls.append(f"https://{host}/private/doc{j}.html")
             elif j % 10 == 3:

@@ -137,3 +137,25 @@ def test_politeness_budget_bit_match(ray_session, tmp_path):
             for r in o.crawl_order]
     assert got == want
     assert df.groupby("host").size().max() <= B
+
+
+def test_skewed_corpus_bit_match(ray_session, tmp_path):
+    """FIXTURES.md §5 skew: hot hosts carry 10x the URLs across many
+    child sitemaps; the two-phase traversal must still bit-match the
+    sequential oracle."""
+    from kit_ray.oracle import run_oracle
+
+    cfg = CorpusConfig(seed=21, n_hosts=10, pages_per_host=20,
+                       hot_every=5, hot_factor=10)
+    out = str(tmp_path / "skew")
+    crawl(cfg, out, concurrency=3, n_buckets=8)
+    t = storage_read_parquet_table(os.path.join(out, "crawl_order"))
+    df = t.to_pandas().sort_values(ORDER_KEYS, kind="stable").reset_index(drop=True)
+    o = run_oracle(cfg, with_images=False)
+    got = list(zip(df["url"], df["tick"], df["host_rank"], df["stack_rank"], df["pos"]))
+    want = [(r["url"], r["tick"], r["host_rank"], r["stack_rank"], r["pos"])
+            for r in o.crawl_order]
+    assert got == want
+    # The skew is real: hot hosts dominate the row count.
+    sizes = df.groupby("host").size()
+    assert sizes.max() > 5 * sizes.median()

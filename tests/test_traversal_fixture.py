@@ -36,19 +36,23 @@ WEB = {
     "https://h.example/childB.xml": b"<urlset><url><loc>https://h.example/b1</loc></url></urlset>",
 }
 
-# Walked by hand from the reference drive loop:
-#   pop second_index.xml (last Sitemap line first)
-#     child 1: childA.txt   -> a1, a2          (junk line skipped)
-#     child 2: nested.xml   -> DROPPED (index inside index)
-#     child 3: missing.xml  -> fetch error, skipped
-#     child 4: childB.xml   -> b1
-#   pop first.xml           -> f1, f2          (invalid <loc> skipped)
+# Walked by hand from the reference drive loop. stack_rank =
+# root_order * 2^20 + child_slot where child slots count ALL listed
+# children (dropped/missing ones keep their slot — the key depends only
+# on the listings):
+#   pop second_index.xml (last Sitemap line first; root_order 0)
+#     slot 1: childA.txt   -> a1, a2           (junk line skipped)
+#     slot 2: nested.xml   -> DROPPED (index inside index)
+#     slot 3: missing.xml  -> fetch error, skipped
+#     slot 4: childB.xml   -> b1
+#   pop first.xml (root_order 1, slot 0) -> f1, f2  (invalid <loc> skipped)
+M = 1 << 20
 EXPECTED = [
     ("https://h.example/a1", 1, 0),
     ("https://h.example/a2", 1, 1),
-    ("https://h.example/b1", 2, 0),
-    ("https://h.example/f1", 3, 0),
-    ("https://h.example/f2", 3, 1),
+    ("https://h.example/b1", 4, 0),
+    ("https://h.example/f1", M, 0),
+    ("https://h.example/f2", M, 1),
 ]
 
 
