@@ -191,12 +191,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": Q.minhash_lsh_pairs,
         "simhash": Q.simhashes,
         "embedding_neardup": Q.embedding_neardup,
+        "embedding_neardup_ivf": Q.embedding_neardup_ivf,
         # --- similarity search ---
         "ann_topk": Q.ann_topk,
         "ann_ivf": Q.ann_ivf,
         # --- relational / windows ---
         "docs_by_lang": Q.docs_by_lang,
         "tpch_q1": Q.tpch_q1,
+        "part_type_revenue": Q.part_type_revenue,
         "top_customers": Q.top_customers,
         "order_revenue_by_priority": Q.order_revenue_by_priority,
         "orders_by_priority": Q.orders_by_priority,
@@ -226,6 +228,99 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "doc_quality": """
+            WITH f AS (
+                SELECT doc_id, lang, source, n_chars,
+                       CAST(length(text) AS BIGINT) AS text_len,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                           AS n_tokens,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                           / greatest(length(text), 1) AS punct_ratio,
+                       len(regexp_extract_all(text, '[0-9]')) * 1.0
+                           / greatest(length(text), 1) AS digit_ratio,
+                       CASE WHEN len(regexp_extract_all(lower(text), '\\S+')) = 0
+                            THEN 0.0
+                            ELSE len(list_filter(
+                                   regexp_extract_all(lower(text), '\\S+'),
+                                   x -> list_contains(
+                                     ['the','and','of','a','to','in','is','it',
+                                      'that','for','der','die','das','und','ist',
+                                      'ein','zu','mit','von','nicht','le','la',
+                                      'les','et','est','un','une','de','que',
+                                      'pour','el','los','y','es','una','por'],
+                                     x))) * 1.0
+                                 / len(regexp_extract_all(lower(text), '\\S+'))
+                       END AS stopword_ratio,
+                       greatest(length(text)
+                                - len(regexp_extract_all(text, '\\S+')) + 1,
+                                0) * 1.0
+                           / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                           AS mean_word_len
+                FROM documents)
+            SELECT doc_id, lang, source, n_chars, text_len, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(digit_ratio, 6) AS digit_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(least(greatest(text_len / 500.0, 0), 1) * 0.4
+                         + least(greatest(1.0 - 4.0 * punct_ratio, 0), 1) * 0.2
+                         + least(greatest(1.0 - 4.0 * digit_ratio, 0), 1) * 0.2
+                         + least(greatest(4.0 * stopword_ratio, 0), 1) * 0.2,
+                         6) AS quality
+            FROM f
+        """,
+        "lang_id": """
+            WITH k AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS ws
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       len(list_filter(ws, x -> list_contains(
+                         ['the','and','of','a','to','in','is','it','that','for'],
+                         x))) AS k_en,
+                       len(list_filter(ws, x -> list_contains(
+                         ['der','die','das','und','ist','ein','zu','mit','von',
+                          'nicht'], x))) AS k_de,
+                       len(list_filter(ws, x -> list_contains(
+                         ['le','la','les','et','est','un','une','de','que',
+                          'pour'], x))) AS k_fr,
+                       len(list_filter(ws, x -> list_contains(
+                         ['el','la','los','y','es','un','una','de','que','por'],
+                         x))) AS k_es
+                FROM k)
+            SELECT doc_id,
+                   CASE WHEN greatest(k_en, k_de, k_fr, k_es) = 0 THEN 'und'
+                        WHEN k_en = greatest(k_en, k_de, k_fr, k_es) THEN 'en'
+                        WHEN k_de = greatest(k_en, k_de, k_fr, k_es) THEN 'de'
+                        WHEN k_fr = greatest(k_en, k_de, k_fr, k_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM c
+        """,
+        "minhash_lsh_pairs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                   generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM toks),
+            p AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                            WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                            ELSE len(list_intersect(a.s, b.s)) * 1.0
+                                 / len(list_distinct(list_concat(a.s, b.s)))
+                       END AS j
+                FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+            SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+            FROM p WHERE j >= 0.8
         """,
         "docs_by_lang": """
             SELECT lang,
@@ -259,6 +354,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "part_type_revenue": """
+            SELECT p_type,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
         """,
         "orders_by_priority": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n

@@ -70,18 +70,31 @@ def minhash_signature(shingles: set[int], num_perm: int = 128, seed: int = 1) ->
     return vals.min(axis=1)
 
 
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Band bucket keys for a BATCH of signatures: ``sigs`` is
+    (n_docs, num_perm) uint64; returns (n_docs, bands) int64.
+
+    FNV-1a over each band chunk's little-endian bytes — identical values
+    to hashing ``chunk.tobytes()`` byte-at-a-time, but vectorized over
+    the (doc, band) axes: the Python loop is ``rows*8`` iterations per
+    batch instead of per chunk."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    # (n, bands, rows*8) uint8 view — C-order LE bytes per chunk.
+    by = np.ascontiguousarray(sigs.reshape(n, bands, rows)).view(np.uint8)
+    by = by.reshape(n, bands, rows * 8).astype(np.uint64)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for i in range(rows * 8):
+            h = (h ^ by[:, :, i]) * prime
+    return h.view(np.int64)
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
     """Split a signature into ``bands`` row-groups; each band hashes to
     one bucket key. Docs sharing any band key are candidates."""
-    rows = len(sig) // bands
-    keys = []
-    for b in range(bands):
-        chunk = sig[b * rows : (b + 1) * rows]
-        h = 0xCBF29CE484222325
-        for v in chunk.tobytes():
-            h = ((h ^ v) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        keys.append(to_i64(h))
-    return keys
+    return lsh_band_keys_batch(sig[None, :], bands)[0].tolist()
 
 
 def jaccard(a: set[int], b: set[int]) -> float:
@@ -101,21 +114,29 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unweighted)."""
+def simhash(text: str, _cache: dict[str, int] | None = None) -> int:
+    """64-bit SimHash over whitespace tokens (unweighted). Vectorized
+    over the token axis: all token-hash bits unpacked at once, one
+    column-sum instead of a per-token 64-wide op. ``_cache`` memoizes
+    token hashes across calls (actors pass a per-actor dict)."""
     toks = text.split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    ones = np.ones(64, dtype=np.int64)
-    for t in toks:
-        h = hash_token(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), ones, -ones)
+    if _cache is None:
+        hs = np.fromiter((hash_token(t) for t in toks), dtype=np.uint64,
+                         count=len(toks))
+    else:
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = _cache.get(t)
+            if h is None:
+                h = _cache[t] = hash_token(t)
+            hs[i] = h
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+    acc = (2 * bits.astype(np.int32) - 1).sum(axis=0)
     v = 0
-    for i in range(64):
-        if acc[i] > 0:
-            v |= 1 << i
+    for i in np.nonzero(acc > 0)[0]:
+        v |= 1 << int(i)
     return to_i64(v)
 
 

@@ -36,6 +36,42 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _join_parts(requested: int | None = None) -> int:
+    """Hash-join partition count bounded by the cluster CPU count: each
+    partition pins a HashShuffleAggregator actor, and more aggregators
+    than CPUs deadlocks the streaming executor on small clusters
+    (measured: num_partitions=8 at 4 CPUs hangs; 4 works)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # pragma: no cover
+        cpus = 4
+    return max(2, min(requested or 8, cpus))
+
+
+def sorted_dedup(ds, sort_keys, subset, coalesce=(8, 1)):
+    """First-row-per-key, fully vectorized: global range-sort on
+    ``sort_keys`` makes each key contiguous, a per-block
+    ``drop_duplicates(keep="first")`` on ``subset`` keeps the first row
+    per key per block, and order-preserving ``repartition`` rounds merge
+    formerly-adjacent blocks so boundary duplicates collapse (the
+    machinery of crawl.dedup_first_sorted, generalized). Never uses
+    ``groupby().map_groups`` — ~1 ms/group is fatal with ~one group per
+    row. The final coalesce must end at one block per key-range; at
+    cluster scale use e.g. ``(64, 8, 1)`` ranges."""
+
+    def drop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=subset, keep="first")
+
+    ds = ds.sort(sort_keys).map_batches(
+        drop, batch_format="pandas", batch_size=None
+    )
+    for n in coalesce:
+        ds = ds.repartition(n).map_batches(
+            drop, batch_format="pandas", batch_size=None
+        )
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -68,11 +104,21 @@ def char_class_counts(sf_dir: str):
 
 
 def doc_quality(sf_dir: str):
-    """Full quality features (stopword ratio + composite score) — not
-    SQL-expressible; rows-only check + pytest."""
-    return _read(sf_dir, "documents").map_batches(
+    """Full quality features (ratios, mean word length, stopword ratio,
+    composite score). Every column is DuckDB-expressible (regex counts,
+    list_filter stopword hits, least/greatest clipping) — float columns
+    rounded to 6dp on both sides for the exact value-hash."""
+    ds = _read(sf_dir, "documents").map_batches(
         TextFeatures, batch_format="pandas", concurrency=(1, 4)
     )
+
+    def round6(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("punct_ratio", "digit_ratio", "stopword_ratio",
+                  "mean_word_len", "quality"):
+            df[c] = df[c].round(6)
+        return df
+
+    return ds.map_batches(round6, batch_format="pandas")
 
 
 def lang_id_preds(sf_dir: str):
@@ -98,93 +144,112 @@ def fingerprints(sf_dir: str):
 
 def dedup_exact(sf_dir: str):
     """Exact dedup: doc_id of the first (min doc_id) document per exact
-    text. hash-partition (groupby content hash) + per-group min."""
+    text. Sort-based first-per-key — sorting on (h, doc_id) makes each
+    content hash contiguous with rows in doc_id order; the per-block
+    drop on (h, text) keeps the min-doc_id row per exact text (hash
+    collisions resolved by the carried text column). No per-group
+    map_groups (~1 ms/group is one group per document here)."""
     def add_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["doc_id", "text"]].copy()
         df["h"] = D.content_hash(df["text"])
         return df
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # Same 64-bit hash, distinct text is possible in principle:
-        # resolve per exact text within the hash group.
-        return (
-            g.sort_values("doc_id").groupby("text", sort=False).head(1)[["doc_id"]]
-        )
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         add_key, batch_format="pandas"
     )
-    return ds.groupby("h").map_groups(keep_first, batch_format="pandas")
+    ds = sorted_dedup(ds, ["h", "doc_id"], ["h", "text"])
+    return ds.map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas"
+    )
 
 
-def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8):
-    """MinHash+LSH near-dup: shingle -> signature -> band buckets ->
-    groupby(band, band_key) -> candidate pairs -> Jaccard verify.
+def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
+                      num_partitions: int | None = None):
+    """MinHash+LSH near-dup, fully partitioned end to end (no driver
+    materialization anywhere in the plan):
 
-    The verify step re-reads the two texts via a broadcast id->text map
-    (documents is the small side at test scale; at 100 TB the verify is
-    a second co-partitioned pass keyed by doc_id instead)."""
+      1. shingle -> signature -> exploded (doc_id, band, band_key) rows
+         (MinHasher actor pool; materialized once, reused by both join
+         sides so the signatures aren't computed twice);
+      2. candidate pairs via a hash-partitioned SELF-JOIN on
+         (band, band_key) — buckets are tiny by construction, so the
+         per-bucket cross product is bounded;
+      3. multi-band duplicate candidates collapsed by sort-based dedup
+         (sorted_dedup — no per-group map_groups, no repartition(1) of
+         raw data);
+      4. Jaccard verify via two co-partitioned hash joins keyed by
+         doc_id that bring each pair's texts to the pair's partition —
+         no broadcast id->text map.
+
+    Returns the verified pair Dataset (doc_id_a < doc_id_b, jaccard
+    rounded to 6dp)."""
+    num_partitions = _join_parts(num_partitions)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
-    texts_ref = ray.put(texts)
 
     banded = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
         batch_format="pandas",
         concurrency=(1, 4),
+    ).materialize()  # small int rows (bands per doc); reused twice below
+
+    left = banded.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_a"}),
+        batch_format="pandas",
+    )
+    right = banded.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_b"}),
+        batch_format="pandas",
+    )
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions,
+        on=("band", "band_key"), right_on=("band", "band_key"),
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # Vectorized per-block pair generation over contiguous buckets
-        # (blocks are sorted by (band, band_key); see note below).
-        out_a, out_b = [], []
-        for (_, _), g in df.groupby(["band", "band_key"], sort=False):
-            ids = sorted(set(g["doc_id"]))
-            for i, x in enumerate(ids):
-                for y in ids[i + 1 :]:
-                    out_a.append(x)
-                    out_b.append(y)
-        return pd.DataFrame(
-            {"doc_id_a": pd.Series(out_a, dtype="int64"),
-             "doc_id_b": pd.Series(out_b, dtype="int64")}
+    def keep_lt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["doc_id_a"] < df["doc_id_b"], ["doc_id_a", "doc_id_b"]]
+        return out.astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+    cands = joined.map_batches(keep_lt, batch_format="pandas")
+    cands = sorted_dedup(
+        cands, ["doc_id_a", "doc_id_b"], ["doc_id_a", "doc_id_b"],
+        coalesce=(4, 1),
+    )
+
+    docs_a = docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_a", "text": "text_a"}),
+        batch_format="pandas",
+    )
+    docs_b = docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_b", "text": "text_b"}),
+        batch_format="pandas",
+    )
+    with_a = cands.join(
+        docs_a, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id_a",), right_on=("doc_id_a",),
+    )
+    with_ab = with_a.join(
+        docs_b, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id_b",), right_on=("doc_id_b",),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series([], dtype="int64"),
+                 "doc_id_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        sims = [
+            D.ngram_jaccard(ta, tb)
+            for ta, tb in zip(df["text_a"], df["text_b"])
+        ]
+        out = df[["doc_id_a", "doc_id_b"]].astype("int64").assign(
+            jaccard=np.round(sims, 6)
         )
+        return out[out["jaccard"] >= threshold]
 
-    # Sort makes buckets contiguous; the single-block coalesce keeps every
-    # bucket whole (exact pairs). Ray's groupby().map_groups costs ~1 ms
-    # per group — fatal with one group per band bucket. At cluster scale
-    # the coalesce is replaced by a hash-partitioned self-join on
-    # (band, band_key) (Dataset.join) — buckets are tiny by construction.
-    cands = (
-        banded.sort(["band", "band_key"])
-        .repartition(1)
-        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
-    )
-
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame(
-                    {"doc_id_a": pd.Series([], dtype="int64"),
-                     "doc_id_b": pd.Series([], dtype="int64"),
-                     "jaccard": pd.Series([], dtype="float64")}
-                )
-            df = df.drop_duplicates()
-            sims = [
-                D.ngram_jaccard(self.texts[a], self.texts[b])
-                for a, b in zip(df["doc_id_a"], df["doc_id_b"])
-            ]
-            df = df.assign(jaccard=np.round(sims, 6))
-            return df[df["jaccard"] >= threshold]
-
-    verified = cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
-    # Candidate pairs can surface from several bands: global dedup.
-    return verified.to_pandas().drop_duplicates(
-        subset=["doc_id_a", "doc_id_b"]
-    ).reset_index(drop=True)
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 def simhashes(sf_dir: str):
@@ -193,40 +258,116 @@ def simhashes(sf_dir: str):
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.5):
-    """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b,
-    cosine >= threshold). Blocked matmul per batch against the broadcast
-    full matrix — the verify-everything shape valid while the embedding
-    table fits the object store; the LSH-bucketed variant is the scale
-    path (ann_ivf).
+def embedding_neardup(sf_dir: str, threshold: float = 0.5,
+                      chunk_rows: int = 512):
+    """EXACT embedding-cosine near-dup pairs (vec_id_a < vec_id_b,
+    cosine >= threshold), as a distributed block-pair cross product:
+
+      1. the table is chunked once to parquet (chunk = vec_id mod C,
+         C sized so a chunk matrix fits a worker's heap);
+      2. one task per chunk PAIR (i <= j) loads exactly two chunks and
+         emits its pairs via one matmul — C(C+1)/2 bounded-memory tasks,
+         no ``take_all()``, no full-matrix broadcast.
+
+    O(N^2) compute is inherent to the exact threshold join (the oracle
+    is exact all-pairs, and the synthetic embeddings have no planted
+    near-dups — the >=0.5 hits are borderline random pairs any bucketed
+    scheme can split). The subquadratic scale path is
+    ``embedding_neardup_ivf``.
 
     Production near-dup uses ~0.95; the synthetic embeddings are
-    near-orthogonal (max off-diagonal cosine ~0.51), so the default
-    here is 0.5 to keep the demo output non-degenerate."""
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    all_rows = emb.take_all()
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
-    ref = ray.put({"ids": ids, "vecs": D.normalize_rows(vecs)})
+    near-orthogonal (max off-diagonal cosine ~0.6), so the default here
+    is 0.5 to keep the demo output non-degenerate."""
+    import tempfile
 
-    def score_block(df: pd.DataFrame) -> pd.DataFrame:
-        full = ray.get(ref)
-        bids = df["vec_id"].to_numpy()
-        bvecs = D.normalize_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-        sims = bvecs @ full["vecs"].T
+    from ..stages.data_stages import CrossChunkScore
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = emb.count()
+    n_chunks = max(1, (n + chunk_rows - 1) // chunk_rows)
+
+    chunk_dir = tempfile.mkdtemp(prefix="neardup_chunks_", dir="/tmp")
+
+    def add_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["chunk"] = (df["vec_id"] % n_chunks).astype("int32")
+        return df
+
+    emb.map_batches(add_chunk, batch_format="pandas").write_parquet(
+        chunk_dir, partition_cols=["chunk"]
+    )
+
+    tasks = rd.from_items(
+        [{"ci": i, "cj": j}
+         for i in range(n_chunks) for j in range(i, n_chunks)]
+    )
+    n_tasks = n_chunks * (n_chunks + 1) // 2
+    tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
+    return tasks.map_batches(
+        CrossChunkScore,
+        fn_constructor_kwargs={"chunk_dir": chunk_dir, "threshold": threshold},
+        batch_format="pandas",
+        batch_size=1,
+        concurrency=(1, 8),
+    )
+
+
+def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
+                          n_cells: int = 16, n_assign: int = 4,
+                          sample_rows: int = 2000):
+    """Bucketed near-dup — the subquadratic scale path: k-means
+    centroids fit on a bounded sample, every vector multi-assigned to
+    its ``n_assign`` nearest cells inside ``map_batches`` (broadcast
+    centroids), pairs generated only within cells, multi-assign
+    duplicate pairs collapsed by sort-based dedup. The per-cell group
+    count is ``n_cells`` (small), so ``map_groups`` is the right tool
+    here — unlike per-document grouping. Approximate by design (a pair
+    split across disjoint cell sets is missed); recall on planted
+    near-dups is pinned by pytest."""
+    from ..functions.ann import kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = emb.take(sample_rows)
+    svecs = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
+    )
+    cents_ref = ray.put(kmeans_fit(svecs, n_cells))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cents_ref)
+        v = D.normalize_rows(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        )
+        top = np.argsort(-(v @ cents.T), axis=1)[:, :n_assign]
+        return pd.DataFrame(
+            {"cell": top.ravel().astype(np.int32),
+             "vec_id": np.repeat(df["vec_id"].to_numpy(np.int64), n_assign),
+             "embedding": np.repeat(df["embedding"].to_numpy(), n_assign)}
+        )
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(np.int64)
+        v = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        hits = D.cosine_pairs(ids, v, threshold)
         rows = {"vec_id_a": [], "vec_id_b": [], "cosine": []}
-        for r in range(len(bids)):
-            js = np.nonzero(sims[r] >= threshold)[0]
-            for j in js:
-                if full["ids"][j] > bids[r]:
-                    rows["vec_id_a"].append(int(bids[r]))
-                    rows["vec_id_b"].append(int(full["ids"][j]))
-                    rows["cosine"].append(round(float(sims[r, j]), 6))
+        for a, b, c in hits:
+            lo, hi = (a, b) if a < b else (b, a)
+            if lo == hi:
+                continue
+            rows["vec_id_a"].append(lo)
+            rows["vec_id_b"].append(hi)
+            rows["cosine"].append(round(c, 6))
         return pd.DataFrame(rows).astype(
             {"vec_id_a": "int64", "vec_id_b": "int64", "cosine": "float64"}
         )
 
-    return emb.map_batches(score_block, batch_format="pandas", batch_size=256)
+    pairs = emb.map_batches(assign, batch_format="pandas").groupby(
+        "cell"
+    ).map_groups(cell_pairs, batch_format="pandas")
+    return sorted_dedup(
+        pairs, ["vec_id_a", "vec_id_b"], ["vec_id_a", "vec_id_b"],
+        coalesce=(4, 1),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +380,8 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     global merge. Ties broken by neighbor_id asc; score rounded to 6dp
     to make the DuckDB comparison exact."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = sorted(emb.take(n_queries * 4), key=lambda r: r["vec_id"])[:n_queries]
+    # True global min-k of vec_id (file row order is NOT assumed sorted).
+    qrows = emb.sort("vec_id").take(n_queries)
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     ref = ray.put({"ids": q_ids, "vecs": q_vecs})
@@ -264,39 +406,46 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
 
 def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_cells: int = 16,
             nprobe: int = 4):
-    """IVF variant: k-means cells fitted on a sample (driver-side, tiny),
-    candidates restricted to the nprobe nearest cells. Returns the same
-    schema as ann_topk (recall < 1.0 by design — pinned by pytest)."""
-    from ..functions.ann import ivf_assign, ivf_probe_cells, kmeans_fit
+    """IVF top-k, distributed: k-means centroids fit on a bounded SAMPLE
+    (driver-side, tiny — the only non-Dataset step), then broadcast;
+    cell assignment, probing and scoring all happen inside
+    ``map_batches`` (IvfTopK actor pool) with a tiny per-query merge —
+    the BruteForceTopK shape restricted to probed cells. Same schema as
+    ann_topk; recall < 1.0 by design (pinned by pytest)."""
+    from ..functions.ann import ivf_probe_cells, kmeans_fit
+    from ..stages.data_stages import IvfTopK
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    rows = emb.take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    cents = kmeans_fit(vecs[: max(2000, n_cells * 50)], n_cells)
-    assign = ivf_assign(vecs, cents)
-
-    order = np.argsort(ids, kind="stable")
-    qsel = order[:n_queries]
-    probe = ivf_probe_cells(vecs[qsel], cents, nprobe)
-
-    out = {"query_id": [], "neighbor_id": [], "score": [], "rank": []}
-    qn = D.normalize_rows(vecs)
-    for qi, gq in enumerate(qsel):
-        cells = set(probe[qi].tolist())
-        mask = np.isin(assign, list(cells)) & (ids != ids[gq])
-        sims = qn[gq] @ qn[mask].T
-        cand_ids = ids[mask]
-        sel = np.lexsort((cand_ids, -sims))[:k]
-        for rank, j in enumerate(sel, 1):
-            out["query_id"].append(int(ids[gq]))
-            out["neighbor_id"].append(int(cand_ids[j]))
-            out["score"].append(round(float(sims[j]), 6))
-            out["rank"].append(rank)
-    return pd.DataFrame(out).astype(
-        {"query_id": "int64", "neighbor_id": "int64", "score": "float64",
-         "rank": "int64"}
+    sample = emb.take(max(2000, n_cells * 50))
+    svecs = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
     )
+    cents = kmeans_fit(svecs, n_cells)
+
+    qrows = emb.sort("vec_id").take(n_queries)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_vecs = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
+    )
+    probe = ivf_probe_cells(q_vecs, cents, nprobe)
+    ref = ray.put({"ids": q_ids, "vecs": q_vecs, "cents": cents, "probe": probe})
+
+    partials = emb.map_batches(
+        IvfTopK,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pandas",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
+                     score=np.round(g["score"], 6))
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +537,7 @@ def order_revenue_by_priority(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=_join_parts(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -422,6 +571,40 @@ def orders_by_priority(sf_dir: str):
         partial, batch_format="pandas"
     ).groupby("o_orderpriority").aggregate(Sum("n", alias_name="n")).to_pandas()
     out["n"] = out["n"].astype("int64")
+    return out
+
+
+def part_type_revenue(sf_dir: str):
+    """Revenue by part type (TPC-H Q14 flavor): lineitem x part — part
+    is the small dimension (SF x 2k rows), so it broadcasts once via
+    ``ray.put`` as a partkey->type lookup applied inside ``map_batches``
+    (no shuffle join), followed by the partial-agg -> tiny-groupby
+    pattern over the 6 p_type groups."""
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    dim_ref = ray.put(pd.Series(
+        part["p_type"].to_numpy(), index=part["p_partkey"].to_numpy()
+    ))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        g = pd.DataFrame(
+            {"p_type": df["l_partkey"].map(d),
+             "rev": df["l_extendedprice"] * (1.0 - df["l_discount"])}
+        ).groupby("p_type", sort=False)["rev"].agg(["sum", "count"])
+        return g.reset_index().rename(
+            columns={"sum": "revenue", "count": "n_items"}
+        )
+
+    out = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pandas").groupby("p_type").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_items", alias_name="n_items"),
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
     return out
 
 
@@ -513,19 +696,50 @@ def recrawl_due(sf_dir: str, now: str = "2024-01-01T00:00:00+00:00"):
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per user, a new session starts after a >30 min
-    gap. groupby(user).map_groups over ts-sorted events — the
-    stream-shaped workload pattern (ordered log per key)."""
+    gap. Sort-based (no per-user map_groups — ~1 ms/group is fatal at
+    10^7 users): global sort on (user_id, ts) makes each user's events
+    contiguous and ordered; each block folds to one partial per user
+    (count, session count, first/last ts); order-preserving coalesce
+    rounds merge adjacent partials — two partials of one user merge by
+    summing counts and subtracting one session when the boundary gap is
+    within the threshold (associative for time-ordered partials)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        new_s = (g["ts"].diff() > gap).sum()
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "n_events": [len(g)],
-             "n_sessions": [int(new_s) + 1]}
-        ).astype({"user_id": "int64", "n_events": "int64", "n_sessions": "int64"})
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Rows arrive sorted by (user_id, ts); a session break is a
+        # > gap jump within the same user.
+        brk = (df["ts"].diff() > gap) & (df["user_id"] == df["user_id"].shift())
+        g = df.assign(brk=brk).groupby("user_id", sort=False)
+        out = g.agg(n_events=("ts", "size"), n_brk=("brk", "sum"),
+                    first_ts=("ts", "min"), last_ts=("ts", "max")).reset_index()
+        out["n_sessions"] = out.pop("n_brk").astype("int64") + 1
+        return out
 
-    return _read(sf_dir, "events", ["user_id", "ts"]).groupby("user_id").map_groups(
-        sess, batch_format="pandas"
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "first_ts"], kind="stable")
+        prev_last = df.groupby("user_id", sort=False)["last_ts"].shift()
+        merged = ((df["first_ts"] - prev_last) <= gap).fillna(False)
+        df = df.assign(merged=merged)
+        g = df.groupby("user_id", sort=False)
+        out = g.agg(n_events=("n_events", "sum"),
+                    n_sessions=("n_sessions", "sum"),
+                    n_merged=("merged", "sum"),
+                    first_ts=("first_ts", "min"),
+                    last_ts=("last_ts", "max")).reset_index()
+        out["n_sessions"] = (out["n_sessions"] - out.pop("n_merged")).astype(
+            "int64"
+        )
+        return out
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).sort(["user_id", "ts"])
+    ds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    for n in (4, 1):  # at cluster scale: (64, 8) user-range blocks
+        ds = ds.repartition(n).map_batches(
+            combine, batch_format="pandas", batch_size=None
+        )
+    return ds.map_batches(
+        lambda df: df[["user_id", "n_events", "n_sessions"]].astype(
+            {"user_id": "int64", "n_events": "int64", "n_sessions": "int64"}
+        ),
+        batch_format="pandas",
     )

@@ -52,18 +52,24 @@ class MinHasher:
         self.k = shingle_k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, bands_, keys = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.D.minhash_signature(
-                self.D.word_shingles(text, self.k), self.num_perm
+        n = len(df)
+        if not n:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "band": pd.Series([], dtype="int32"),
+                 "band_key": pd.Series([], dtype="int64")}
             )
-            for b, k in enumerate(self.D.lsh_band_keys(sig, self.bands)):
-                doc_ids.append(doc_id)
-                bands_.append(b)
-                keys.append(k)
+        sigs = np.stack(
+            [self.D.minhash_signature(self.D.word_shingles(t, self.k),
+                                      self.num_perm)
+             for t in df["text"]]
+        )
+        keys = self.D.lsh_band_keys_batch(sigs, self.bands)  # (n, B) int64
         return pd.DataFrame(
-            {"doc_id": doc_ids, "band": bands_, "band_key": keys}
-        ).astype({"doc_id": "int64", "band": "int32", "band_key": "int64"})
+            {"doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), self.bands),
+             "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
+             "band_key": keys.ravel()}
+        )
 
 
 class SimHasher:
@@ -71,10 +77,15 @@ class SimHasher:
         from ..functions.dedup import simhash
 
         self.simhash = simhash
+        self.cache: dict[str, int] = {}  # token-hash memo, per actor
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(self.cache) > 1_000_000:  # bound actor memory
+            self.cache.clear()
         out = df[["doc_id"]].copy()
-        out["simhash"] = df["text"].map(self.simhash).astype("int64")
+        out["simhash"] = df["text"].map(
+            lambda t: self.simhash(t, self.cache)
+        ).astype("int64")
         return out
 
 
@@ -102,6 +113,103 @@ class BruteForceTopK:
         rows = {"query_id": [], "neighbor_id": [], "score": []}
         for qi, qid in enumerate(self.q_ids):
             mask = cand_ids != qid  # exclude self-match
+            ids, scores = self.merge(cand_ids[mask], sims[qi][mask], self.k)
+            rows["query_id"].extend([qid] * len(ids))
+            rows["neighbor_id"].extend(ids.tolist())
+            rows["score"].extend(scores.tolist())
+        return pd.DataFrame(rows).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
+        )
+
+
+class CrossChunkScore:
+    """One task per chunk pair (ci <= cj) of the range-chunked embedding
+    table: load exactly two chunk files, one matmul, emit all pairs with
+    cosine >= threshold as (min_id, max_id). Chunks are cached per actor
+    (an actor usually draws several pairs sharing a chunk)."""
+
+    def __init__(self, chunk_dir: str, threshold: float, cache_max: int = 4):
+        import os
+
+        from ..functions.dedup import normalize_rows
+
+        self.dir = chunk_dir
+        self.t = threshold
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.cache_max = cache_max
+        self.normalize = normalize_rows
+        self.join = os.path.join
+
+    def _load(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self.cache.get(c)
+        if got is None:
+            import pyarrow.dataset as pads
+
+            if len(self.cache) >= self.cache_max:
+                self.cache.pop(next(iter(self.cache)))
+            t = pads.dataset(
+                self.join(self.dir, f"chunk={c}"), format="parquet"
+            ).to_table()
+            ids = t["vec_id"].to_numpy()
+            vecs = self.normalize(
+                np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+                .astype(np.float64)
+            )
+            got = self.cache[c] = (ids, vecs)
+        return got
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"vec_id_a": [], "vec_id_b": [], "cosine": []}
+        for ci, cj in zip(df["ci"], df["cj"]):
+            ia, va = self._load(int(ci))
+            ib, vb = self._load(int(cj))
+            sims = va @ vb.T
+            rs, cs = np.nonzero(sims >= self.t)
+            for r, c in zip(rs, cs):
+                a, b = int(ia[r]), int(ib[c])
+                if ci == cj:
+                    if a >= b:  # each unordered pair appears twice here
+                        continue
+                elif a > b:
+                    a, b = b, a
+                rows["vec_id_a"].append(a)
+                rows["vec_id_b"].append(b)
+                rows["cosine"].append(round(float(sims[r, c]), 6))
+        return pd.DataFrame(rows).astype(
+            {"vec_id_a": "int64", "vec_id_b": "int64", "cosine": "float64"}
+        )
+
+
+class IvfTopK:
+    """IVF partial top-k: centroids, queries and per-query probe cells
+    broadcast once per actor; each candidate batch is cell-assigned with
+    one matmul, each query scores only candidates in its probed cells.
+    A tiny per-query merge downstream yields the global (approximate)
+    top-k — same partial-then-merge shape as BruteForceTopK."""
+
+    def __init__(self, ref, k: int):
+        from ..functions.ann import topk_merge
+        from ..functions.dedup import normalize_rows
+
+        d = ray.get(ref)
+        self.q_ids = d["ids"]
+        self.q_vecs = normalize_rows(d["vecs"].astype(np.float64))
+        self.cents = d["cents"]
+        self.probe = d["probe"]  # (Q, nprobe) cell ids
+        self.k = k
+        self.merge = topk_merge
+        self.normalize = normalize_rows
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cand_ids = batch["vec_id"].to_numpy()
+        cand = self.normalize(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        )
+        assign = np.argmax(cand @ self.cents.T, axis=1)
+        sims = self.q_vecs @ cand.T
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for qi, qid in enumerate(self.q_ids):
+            mask = np.isin(assign, self.probe[qi]) & (cand_ids != qid)
             ids, scores = self.merge(cand_ids[mask], sims[qi][mask], self.k)
             rows["query_id"].extend([qid] * len(ids))
             rows["neighbor_id"].extend(ids.tolist())

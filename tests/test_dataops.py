@@ -178,6 +178,53 @@ class TestImageCodec:
         assert a == b
 
 
+class TestNearDupPipelines:
+    def test_block_pair_exact_and_ivf_bucketed_find_planted(
+        self, ray_session, tmp_path
+    ):
+        """The distributed block-pair pipeline is EXACT (must equal the
+        kernel-level all-pairs scan); the IVF-bucketed pipeline is the
+        approximate scale path, but planted near-dups (cosine ~0.999)
+        co-locate in cells, so it must find them all and never invent
+        pairs the exact scan lacks."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kit_ray.pipelines.dataops import (
+            embedding_neardup,
+            embedding_neardup_ivf,
+        )
+
+        rng = np.random.default_rng(5)
+        n, d = 600, 32
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        planted = [(10, 310), (50, 400), (99, 500)]
+        for a, b in planted:
+            vecs[b] = vecs[a] + rng.normal(scale=0.01, size=d).astype(np.float32)
+        t = pa.table(
+            {"vec_id": pa.array(range(n), pa.int64()),
+             "embedding": pa.array([v.tolist() for v in vecs],
+                                   pa.list_(pa.float32()))}
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+        truth = {(a, b) for a, b, _ in
+                 D.cosine_pairs(np.arange(n), vecs.astype(np.float64), 0.95)}
+        exact = embedding_neardup(
+            str(tmp_path), threshold=0.95, chunk_rows=128
+        ).to_pandas()
+        exact_pairs = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+        assert exact_pairs == truth
+        assert set(planted) <= exact_pairs
+
+        bucketed = embedding_neardup_ivf(
+            str(tmp_path), threshold=0.95, sample_rows=600
+        ).to_pandas()
+        buck_pairs = set(zip(bucketed["vec_id_a"], bucketed["vec_id_b"]))
+        assert set(planted) <= buck_pairs
+        assert buck_pairs <= exact_pairs
+
+
 class TestLshRecall:
     def test_lsh_matches_exhaustive_ground_truth(self, ray_session):
         """The distributed MinHash-LSH pipeline must find EXACTLY the
@@ -197,7 +244,7 @@ class TestLshRecall:
             for b in ids[i + 1 :]
             if D.jaccard(sh[a], sh[b]) >= 0.8
         }
-        got = minhash_lsh_pairs("/root/testdata/sf0.01", threshold=0.8)
+        got = minhash_lsh_pairs("/root/testdata/sf0.01", threshold=0.8).to_pandas()
         got_pairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
         assert got_pairs == truth
         assert len(truth) > 0
