@@ -58,7 +58,10 @@ class LimitError(Exception):
 # ---------------------------------------------------------------------------
 
 _ISO_RE = re.compile(
-    r"^\s*(\d{4})-(\d{2})-(\d{2})[Tt ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?"
+    # The time-crate Iso8601::PARSING grammar requires the 'T'
+    # date/time separator and the seconds component; a space separator
+    # or omitted seconds must NOT parse (entry.rs:109).
+    r"^\s*(\d{4})-(\d{2})-(\d{2})[Tt](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)"
     r"(Z|z|[+-]\d{2}(?::?\d{2})?)\s*$"
 )
 
@@ -282,7 +285,14 @@ def _parse_records_root_normalized(data, root_tag, record_tag, fields):
             if not path and value.lower() == root_tag:
                 value = root_tag  # scanner seeds the lowercase constant
             if value.lower() == record_tag:
-                if records + 1 > RECORD_LIMIT:
+                # Reference parity (inner.rs try_if_readable): records is
+                # incremented on the record's Start tag and the
+                # ``records + 1 > RECORD_LIMIT`` guard fails BEFORE that
+                # record's content is read, so the XML parsers emit at
+                # most RECORD_LIMIT - 1 records — the in-flight record at
+                # the limit is discarded. (parse_plain counts after
+                # read_line and differs deliberately, plain.rs:77.)
+                if records + 2 > RECORD_LIMIT:
                     raise LimitError(f"record limit: {RECORD_LIMIT}")
                 records += 1
                 record = {}

@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict
 
@@ -51,8 +52,11 @@ from ..synth import CorpusConfig
 
 
 def _digest(cfg: CorpusConfig, n_buckets: int, budget_per_host=None) -> str:
+    # "v" bumps when a stage's output schema changes (v2 added the
+    # bucket column to crawl_order) so older checkpoints invalidate.
     payload = json.dumps(
-        {"cfg": asdict(cfg), "n_buckets": n_buckets, "budget": budget_per_host},
+        {"cfg": asdict(cfg), "n_buckets": n_buckets, "budget": budget_per_host,
+         "v": 2},
         sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -93,36 +97,76 @@ def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (8, 1)):
 
 
 def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
-    """Vectorized politeness schedule: sort by (host, discovery order),
-    then a per-block pandas ``groupby.cumcount`` assigns each host's
-    i-th URL tick ``i * crawl_delay_s``; ``budget_per_host`` truncates
-    each host's queue (the north rule's politeness budget).
+    """Vectorized politeness schedule: each host's i-th URL (in
+    discovery order) gets tick ``i * crawl_delay_s``; ``budget_per_host``
+    truncates each host's queue (the north rule's politeness budget).
 
-    Like dedup_first_sorted this avoids Ray's ~1 ms/group map_groups
-    cost (fatal at >10^4 hosts). The cumcount needs every host's rows in
-    one block: at test scale a single coalesced block; at cluster scale
-    the same two-pass shape as dedup — per-block cumcounts plus a tiny
-    broadcast of per-(block, host) counts to offset later blocks — or
-    host-range-aligned repartitioning; documented, not needed here.
+    Two-pass distributed cumcount — no ``repartition(1)`` funnel and no
+    per-group map_groups (~1 ms/group is fatal at >10^4 hosts):
+
+      pass A: global range-sort on (host, order key), materialized so
+              both passes see identical block boundaries; each block
+              folds to per-(block, host) counts keyed by that host's
+              FIRST order key in the block — tiny metadata
+              (<= hosts + blocks rows, since a host spans only
+              consecutive blocks after the sort);
+      driver: exclusive prefix-sum of the counts per host in block
+              order -> a broadcast offset map keyed by
+              (host, first order key);
+      pass B: per-block ``groupby.cumcount`` plus the block's broadcast
+              offset for each host, then the budget filter and the tick
+              arithmetic — all vectorized.
     """
+    order_cols = ["host", "host_rank", "stack_rank", "pos"]
+    sorted_ds = ds.sort(order_cols).materialize()
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False)
+        return g.agg(
+            n=("host", "size"), first_hr=("host_rank", "first"),
+            first_sr=("stack_rank", "first"), first_pos=("pos", "first"),
+        ).reset_index()
+
+    meta = sorted_ds.map_batches(
+        block_counts, batch_format="pandas", batch_size=None
+    ).to_pandas()  # per-(block, host) metadata only — never the rows
+    offsets: dict = {}
+    if len(meta):
+        meta = meta.sort_values(
+            ["host", "first_hr", "first_sr", "first_pos"], kind="stable"
+        )
+        meta["offset"] = meta.groupby("host")["n"].cumsum() - meta["n"]
+        offsets = {
+            (h, int(hr), int(sr), int(p)): int(o)
+            for h, hr, sr, p, o in zip(
+                meta["host"], meta["first_hr"], meta["first_sr"],
+                meta["first_pos"], meta["offset"]
+            )
+        }
+    off_ref = ray.put(offsets)
 
     def ticks(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["host", "host_rank", "stack_rank", "pos"],
-                            kind="stable")
-        idx = df.groupby("host", sort=False).cumcount()
+        off_map = ray.get(off_ref)
+        idx = df.groupby("host", sort=False).cumcount().to_numpy()
+        firsts = df.drop_duplicates("host")
+        hmap = {
+            h: off_map[(h, int(hr), int(sr), int(p))]
+            for h, hr, sr, p in zip(
+                firsts["host"], firsts["host_rank"], firsts["stack_rank"],
+                firsts["pos"]
+            )
+        }
+        if hmap:
+            idx = idx + df["host"].map(hmap).to_numpy()
         if budget_per_host is not None:
-            df = df[idx < budget_per_host]
-            idx = idx[idx < budget_per_host]
-        df = df.assign(
-            tick=idx.to_numpy(dtype="float64") * df["crawl_delay_s"].to_numpy()
+            keep = idx < budget_per_host
+            df = df[keep]
+            idx = idx[keep]
+        return df.assign(
+            tick=idx.astype("float64") * df["crawl_delay_s"].to_numpy()
         )
-        return df
 
-    return (
-        ds.sort(["host", "host_rank", "stack_rank", "pos"])
-        .repartition(1)
-        .map_batches(ticks, batch_format="pandas", batch_size=None)
-    )
+    return sorted_ds.map_batches(ticks, batch_format="pandas", batch_size=None)
 
 
 def hosts_from_seed_urls(seed_urls: list[str], par: int = 4) -> list[str]:
@@ -166,6 +210,10 @@ def crawl(
     robots_mat = None  # materialized stage-1 output, reused by stage 2
     t0 = time.time()
     if not (resume and storage.valid_checkpoint(robots_dir, digest)):
+        # Recomputing: clear stale output first — Ray's write_parquet
+        # appends files, so leftovers from a previous run (resume=False
+        # never consults valid_checkpoint) would double the rows.
+        shutil.rmtree(robots_dir, ignore_errors=True)
         hosts = cfg.hosts()
         seeds = rd.from_items(
             [{"host": h, "host_rank": i} for i, h in enumerate(hosts)]
@@ -202,6 +250,7 @@ def crawl(
     order_dir = os.path.join(out_dir, "crawl_order")
     t0 = time.time()
     if not (resume and storage.valid_checkpoint(order_dir, digest)):
+        shutil.rmtree(order_dir, ignore_errors=True)  # see stage-1 note
         robots_ds = robots_mat if robots_mat is not None else rd.read_parquet(robots_dir)
         # Two-phase skew-resilient traversal: phase A expands each
         # host's sitemap DAG into leaf work items (cheap, per host);
@@ -236,27 +285,53 @@ def crawl(
         )
         deduped = dedup_first_sorted(gated)
         scheduled = politeness_ticks_sorted(deduped, budget_per_host)
-        final = scheduled.sort(["tick", "host_rank", "stack_rank", "pos"])
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            # Fetch-resume bucket assigned here (vectorized over the
+            # block's unique hosts) so stage 3 never recomputes it.
+            hmap = {h: host_bucket(h, n_buckets) for h in df["host"].unique()}
+            return df.assign(bucket=df["host"].map(hmap).astype("int32"))
+
+        final = scheduled.map_batches(add_bucket, batch_format="pandas").sort(
+            ["tick", "host_rank", "stack_rank", "pos"]
+        )
         final.write_parquet(order_dir)
         os.makedirs(order_dir, exist_ok=True)  # zero-row writes create nothing
         storage.write_manifest(
             order_dir, stage="crawl_order", digest=digest, rows=pq_count(order_dir),
-            schema=["url", "host", "tick", "host_rank", "stack_rank", "pos"],
+            schema=["url", "host", "tick", "host_rank", "stack_rank", "pos",
+                    "bucket"],
             started=t0,
         )
     summary["scheduled_rows"] = pq_count(order_dir)
 
     # ---- stage 3: page fetch -> image table, bucket-resumable -----------
     images_dir = os.path.join(out_dir, "images")
+    if not resume:
+        # valid_checkpoint (which clears stale bucket dirs) is only
+        # consulted on resume; a fresh run must not append onto leftovers.
+        shutil.rmtree(images_dir, ignore_errors=True)
     os.makedirs(images_dir, exist_ok=True)
-    order_tbl = storage_read_parquet_table(order_dir)
-    hosts_all = (
-        order_tbl["host"].to_pylist() if "host" in order_tbl.column_names else []
-    )
-    bucket_of = {h: host_bucket(h, n_buckets) for h in set(hosts_all)}
+    # Distributed bucket accounting: per-block value_counts partials ->
+    # tiny (bucket, n) driver sum. Never pulls the host/bucket column of
+    # the whole schedule to the driver.
     rows_per_bucket: dict[int, int] = {}
-    for h in hosts_all:
-        rows_per_bucket[bucket_of[h]] = rows_per_bucket.get(bucket_of[h], 0) + 1
+    if _has_parquet(order_dir):
+        def bucket_partial(t: pa.Table) -> pa.Table:
+            vc = pa.compute.value_counts(t["bucket"].combine_chunks())
+            return pa.table(
+                {"bucket": vc.field("values"), "n": vc.field("counts")}
+            )
+
+        counts = (
+            rd.read_parquet(order_dir, columns=["bucket"])
+            .map_batches(bucket_partial, batch_format="pyarrow")
+            .to_pandas()  # <= n_buckets x n_blocks rows
+        )
+        rows_per_bucket = {
+            int(b): int(n)
+            for b, n in counts.groupby("bucket")["n"].sum().items()
+        }
 
     todo = []
     for b in sorted(rows_per_bucket):
@@ -274,13 +349,9 @@ def crawl(
         # it so the fetch pool's parallelism isn't capped by source
         # block count.
         order_ds = rd.read_parquet(order_dir).repartition(par * 2)
+        todo_arr = pa.array(sorted(todo_set), pa.int32())
         pending = order_ds.map_batches(
-            lambda t: t.filter(
-                pa.array(
-                    [host_bucket(h, n_buckets) in todo_set
-                     for h in t["host"].to_pylist()]
-                )
-            ),
+            lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=todo_arr)),
             batch_format="pyarrow",
         )
         images = pending.map_batches(

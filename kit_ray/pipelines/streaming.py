@@ -93,25 +93,84 @@ def crawl_round(
     )
     deduped = dedup_first_sorted(gated)
 
-    # Cross-round anti-join against the persistent seen set, then ticks
-    # from the per-host authorities — per host group so each authority
-    # sees one ordered request stream (deterministic).
+    # Cross-round anti-join + ticks, in the batch pipeline's sort-based
+    # shapes (no per-host map_groups, no per-group RPCs):
+    #
+    #   1. host-sort + materialize pins block boundaries;
+    #   2. seen filter: one BATCHED offer RPC per block (in-round dupes
+    #      are already gone, so concurrent offers of distinct URLs
+    #      commute; cross-round membership was fixed before the round —
+    #      deterministic). Materialized so the offer runs exactly once;
+    #   3. per-(block, host) survivor counts -> a tiny driver metadata
+    #      frame; ONE reserve() RPC per authority shard atomically
+    #      advances each host's cross-round counter and returns
+    #      (base, delay);
+    #   4. tick pass: block-local cumcount + broadcast (offset, base,
+    #      delay) — all vectorized.
     seen, polite = state.seen, state.polite
+    order_cols = ["host", "host_rank", "stack_rank", "pos"]
+    ordered = deduped.sort(order_cols).materialize()
 
-    def filter_and_tick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["host_rank", "stack_rank", "pos"], kind="stable")
-        new = seen.offer([canonical_url(u) or u for u in g["url"]])
-        g = g[pd.Series(new, index=g.index)]
-        if not len(g):
-            return g.assign(tick=pd.Series(dtype="float64"))
-        g = g.assign(tick=polite.schedule(list(g["host"])))
-        return g
+    def seen_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        new = seen.offer([canonical_url(u) or u for u in df["url"]])
+        return df[pd.Series(new, index=df.index)]
 
-    out = (
-        deduped.groupby("host")
-        .map_groups(filter_and_tick, batch_format="pandas")
-        .to_pandas()
+    survivors = ordered.map_batches(
+        seen_filter, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False)
+        return g.agg(
+            n=("host", "size"), first_hr=("host_rank", "first"),
+            first_sr=("stack_rank", "first"), first_pos=("pos", "first"),
+        ).reset_index()
+
+    meta = survivors.map_batches(
+        block_counts, batch_format="pandas", batch_size=None
+    ).to_pandas()  # per-(block, host) metadata only
+    if not len(meta):
+        empty = survivors.to_pandas()
+        return empty.assign(tick=pd.Series(dtype="float64"))
+    meta = meta.sort_values(
+        ["host", "first_hr", "first_sr", "first_pos"], kind="stable"
     )
+    meta["offset"] = meta.groupby("host")["n"].cumsum() - meta["n"]
+    bases = polite.reserve(
+        {h: int(n) for h, n in meta.groupby("host")["n"].sum().items()}
+    )
+    offsets = {
+        (h, int(hr), int(sr), int(p)): int(o)
+        for h, hr, sr, p, o in zip(
+            meta["host"], meta["first_hr"], meta["first_sr"],
+            meta["first_pos"], meta["offset"]
+        )
+    }
+    broadcast = ray.put((offsets, bases))
+
+    def ticks(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(tick=pd.Series(dtype="float64"))
+        off_map, base_map = ray.get(broadcast)
+        idx = df.groupby("host", sort=False).cumcount().to_numpy()
+        firsts = df.drop_duplicates("host")
+        hoff = {
+            h: off_map[(h, int(hr), int(sr), int(p))]
+            for h, hr, sr, p in zip(
+                firsts["host"], firsts["host_rank"], firsts["stack_rank"],
+                firsts["pos"]
+            )
+        }
+        idx = idx + df["host"].map(hoff).to_numpy()
+        base = df["host"].map({h: b for h, (b, _) in base_map.items()}).to_numpy()
+        delay = df["host"].map({h: d for h, (_, d) in base_map.items()}).to_numpy()
+        return df.assign(tick=(base + idx).astype("float64") * delay)
+
+    out = survivors.map_batches(
+        ticks, batch_format="pandas", batch_size=None
+    ).to_pandas()  # round schedule metadata (bounded per round)
     if not len(out):
         return out
     return out.sort_values(

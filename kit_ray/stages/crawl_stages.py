@@ -361,9 +361,17 @@ class PageFetch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {name: [] for name in IMAGE_SCHEMA.names}
-        for url, host, tick, host_rank, stack_rank, pos in zip(
+        # The schedule carries the bucket column (assigned in stage 2);
+        # recompute only if fed a pre-v2 schedule without it.
+        if "bucket" in batch.column_names:
+            buckets = batch["bucket"].to_pylist()
+        else:  # pragma: no cover - legacy schedules only
+            buckets = [host_bucket(h, self.n_buckets)
+                       for h in batch["host"].to_pylist()]
+        for url, host, bucket, tick, host_rank, stack_rank, pos in zip(
             batch["url"].to_pylist(),
             batch["host"].to_pylist(),
+            buckets,
             batch["tick"].to_pylist(),
             batch["host_rank"].to_pylist(),
             batch["stack_rank"].to_pylist(),
@@ -375,7 +383,7 @@ class PageFetch:
             rows["payload_bytes"].append(len(img["bytes"]))  # countio parity
             rows["url"].append(url)
             rows["host"].append(host)
-            rows["bucket"].append(host_bucket(host, self.n_buckets))
+            rows["bucket"].append(bucket)
             rows["tick"].append(tick)
             rows["host_rank"].append(host_rank)
             rows["stack_rank"].append(stack_rank)

@@ -45,6 +45,19 @@ class TokenBucketShard:
             out.append(i * self.delay.get(h, 0.0))
         return out
 
+    def reserve(self, counts: dict[str, int]) -> dict[str, tuple[int, float]]:
+        """Atomically reserve ``counts[h]`` consecutive slots per host;
+        returns (base index, delay) per host. Equivalent to
+        ``schedule([h] * n)`` but one RPC for a whole round — the
+        streaming loop assigns the per-row index distributedly (sorted
+        cumcount) and only the counter advance needs the authority."""
+        out = {}
+        for h, n in counts.items():
+            i = self.next_idx.get(h, 0)
+            self.next_idx[h] = i + int(n)
+            out[h] = (i, self.delay.get(h, 0.0))
+        return out
+
     def state(self) -> dict:
         return {"shard": self.shard_id, "hosts": dict(self.next_idx)}
 
@@ -118,6 +131,23 @@ class PolitenessPool:
             for st in states:
                 self.shards[st["shard"]].load_state(st)
         return True
+
+    def reserve(self, counts: dict[str, int]) -> dict[str, tuple[int, float]]:
+        """Reserve slot ranges for many hosts in one call per shard."""
+        per: dict[int, dict[str, int]] = {}
+        for h, n in counts.items():
+            per.setdefault(self._shard_of(h), {})[h] = n
+        out: dict[str, tuple[int, float]] = {}
+        if self.use_ray:
+            import ray
+
+            futs = [self.shards[s].reserve.remote(c) for s, c in per.items()]
+            for r in ray.get(futs):
+                out.update(r)
+        else:
+            for s, c in per.items():
+                out.update(self.shards[s].reserve(c))
+        return out
 
     def schedule(self, hosts: list[str]) -> list[float]:
         """Ticks for a request list, preserving arrival order per host."""

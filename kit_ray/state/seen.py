@@ -128,6 +128,24 @@ class CuckooFilter:
             or fp in self.stash
         )
 
+    def remove(self, key: int) -> bool:
+        """Delete one copy of the key's fingerprint (either candidate
+        bucket, then the stash). Standard cuckoo-filter deletion: only
+        call for keys known to have been added — removing an absent key
+        could delete another key's colliding fingerprint."""
+        fp = self._fp(key)
+        i1 = self._i1(key)
+        i2 = self._i2(i1, fp)
+        for i in (i1, i2):
+            slots = np.nonzero(self.table[i] == fp)[0]
+            if len(slots):
+                self.table[i, slots[0]] = 0
+                return True
+        if fp in self.stash:
+            self.stash.discard(fp)
+            return True
+        return False
+
 
 class SeenShard:
     """One shard of the URL-seen set: Bloom + cuckoo (+ exact set at
@@ -168,10 +186,20 @@ class SeenShard:
         ]
 
     def remove(self, keys: Sequence[int]):
+        """Remove keys KNOWN to be present; keys never offered are
+        ignored — decrementing the counting-Bloom (or deleting a cuckoo
+        fingerprint) for an absent key could zero counters/slots shared
+        with other keys and create false 'new' verdicts."""
         for k in keys:
-            if self.exact is not None and k in self.exact:
+            if self.exact is not None:
+                if k not in self.exact:
+                    continue
                 self.exact.remove(k)
+            elif not (self.bloom.might_contain(k)
+                      and self.cuckoo.might_contain(k)):
+                continue
             self.bloom.remove(k)
+            self.cuckoo.remove(k)
 
     def stats(self) -> dict:
         return {

@@ -110,6 +110,19 @@ def test_resume_is_byte_identical(ray_session, tmp_path, oracle):
         assert da[col].equals(db[col]), f"column {col} differs after resume"
 
 
+def test_no_resume_clears_stale_output(ray_session, tmp_path):
+    """resume=False must not append onto a previous run's parquet in the
+    same out_dir (Ray's write_parquet appends): row counts after a
+    second fresh run equal a single run's, in every stage dir."""
+    out = str(tmp_path / "fresh")
+    s1 = crawl(CFG, out, concurrency=3, n_buckets=8)
+    s2 = crawl(CFG, out, concurrency=3, n_buckets=8, resume=False)
+    assert s2["robots_rows"] == s1["robots_rows"] == CFG.n_hosts
+    assert s2["scheduled_rows"] == s1["scheduled_rows"]
+    imgs = storage_read_parquet_table(os.path.join(out, "images"))
+    assert len(imgs) == s1["scheduled_rows"]
+
+
 def test_stage_checkpoints_skip(ray_session, tmp_path):
     out = str(tmp_path / "skip")
     crawl(CFG, out, concurrency=3, n_buckets=8)

@@ -115,7 +115,10 @@ class TestUrlsetParse:
         with pytest.raises(LimitError):
             for e in parse_urlset(data):
                 got.append(e)
-        assert len(got) == RECORD_LIMIT
+        # Reference parity: try_if_readable fails before the
+        # RECORD_LIMIT-th record's content is read (inner.rs), so the
+        # XML parsers emit at most RECORD_LIMIT - 1 records.
+        assert len(got) == RECORD_LIMIT - 1
 
 
 class TestIndexParse:
@@ -207,6 +210,9 @@ class TestScalars:
         )
         assert iso8601_parse("2022-06-04") is None  # date-only fails
         assert iso8601_parse("garbage") is None
+        # time-crate grammar: 'T' separator and seconds are required.
+        assert iso8601_parse("2022-09-08 10:43:13+00:00") is None
+        assert iso8601_parse("2022-09-08T10:43+00:00") is None
 
     def test_iso8601_format_two_decimals(self):
         # build/inner.rs:9-13: 2-decimal seconds.

@@ -67,6 +67,24 @@ class TestSeenShard:
         assert s.offer([10, 20, 10]) == [True, True, False]
         assert s.contains([10, 20]) == [True, True]
 
+    def test_remove_absent_key_is_noop(self):
+        # Removing a never-offered key must not corrupt shared Bloom
+        # counters or cuckoo slots of present keys.
+        for exact in (True, False):
+            s = SeenShard(0, exact=exact)
+            s.offer(list(range(50)))
+            s.remove([10_000, 10_001])  # never added
+            assert s.contains(list(range(50))) == [True] * 50
+
+    def test_remove_then_reoffer_no_fp_accumulation(self):
+        s = SeenShard(0, exact=False)
+        s.offer([7])
+        for _ in range(20):  # remove+re-offer cycles must not grow state
+            s.remove([7])
+            assert s.contains([7]) == [False]
+            assert s.offer([7]) == [True]
+        assert int((s.cuckoo.table != 0).sum()) + len(s.cuckoo.stash) == 1
+
 
 class TestSeenSetLocal:
     def test_sharded_routing(self):
@@ -114,7 +132,91 @@ class TestPoliteness:
         assert len(set(salts[:10])) > 1  # hot host spread
 
 
+def _stream_reference(cfg, waves):
+    """Single-process replica of crawl_round semantics across waves:
+    per-round policy map (gate by THIS round's policies only), in-round
+    first-occurrence dedup, persistent cross-round seen set, persistent
+    per-host tick counters (the reserve() contract)."""
+    from kit_ray.kernels.robots import Robots
+    from kit_ray.kernels.traverse import traverse_host
+    from kit_ray.kernels.urlkit import canonical_url, try_parse
+    from kit_ray.oracle import USER_AGENT
+
+    seen, counters, rounds, offset = set(), {}, [], 0
+    for wave in waves:
+        policies = {}
+        for h in wave:
+            access = cfg.access(h)
+            blob = (cfg.fetch(f"https://{h}/robots.txt")
+                    if access == "successful" else None)
+            policies[h] = Robots.from_access(access, blob, USER_AGENT)
+        discovered = []
+        for i, host in enumerate(wave):
+            for t in traverse_host(policies[host].sitemaps(),
+                                   lambda u: cfg.fetch(str(u))):
+                u = t.entry.location
+                discovered.append(
+                    {"url": str(u), "host": u.host_port(),
+                     "host_rank": offset + i, "stack_rank": t.stack_rank,
+                     "pos": t.pos}
+                )
+        gated = []
+        for row in discovered:
+            pol = policies.get(row["host"])
+            u = try_parse(row["url"])
+            if pol is not None and u is not None and pol.is_absolute_allowed(u):
+                gated.append(row)
+        gated.sort(key=lambda r: (r["host_rank"], r["stack_rank"], r["pos"]))
+        surv = []
+        for row in gated:
+            key = canonical_url(row["url"]) or row["url"]
+            if key in seen:
+                continue
+            seen.add(key)
+            surv.append(row)
+        delays = {h: float(policies[h].crawl_delay() or 0.0) for h in wave}
+        for row in sorted(surv, key=lambda r: (r["host"], r["host_rank"],
+                                               r["stack_rank"], r["pos"])):
+            i = counters.get(row["host"], 0)
+            counters[row["host"]] = i + 1
+            row["tick"] = i * delays.get(row["host"], 0.0)
+        surv.sort(key=lambda r: (r["tick"], r["host_rank"], r["stack_rank"],
+                                 r["pos"]))
+        rounds.append(surv)
+        offset += len(wave)
+    return rounds
+
+
 class TestIncrementalFrontier:
+    def test_rounds_bit_match_reference(self, ray_session):
+        """Multi-round streaming e2e: every round's schedule (urls,
+        hosts, ticks, order keys) bit-matches the single-process
+        reference, including cross-round seen filtering and tick
+        continuation for overlapping waves."""
+        from kit_ray.pipelines.streaming import FrontierState, crawl_round
+        from kit_ray.synth import CorpusConfig
+
+        cfg = CorpusConfig(seed=19, n_hosts=9, pages_per_host=24)
+        hosts = cfg.hosts()
+        waves = [hosts[:5], hosts[3:]]  # overlap: hosts 3-4 repeat
+        want = _stream_reference(cfg, waves)
+
+        state = FrontierState(n_seen_shards=4, n_polite_shards=2)
+        offset = 0
+        for wave, wround in zip(waves, want):
+            got = crawl_round(cfg, state, wave, host_rank_offset=offset,
+                              concurrency=2)
+            got_rows = list(zip(got["url"], got["host"], got["tick"],
+                                got["host_rank"], got["stack_rank"],
+                                got["pos"]))
+            want_rows = [
+                (r["url"], r["host"], r["tick"], r["host_rank"],
+                 r["stack_rank"], r["pos"])
+                for r in wround
+            ]
+            assert got_rows == want_rows
+            offset += len(wave)
+
     def test_two_rounds_and_restore(self, ray_session, tmp_path):
         from kit_ray.pipelines.streaming import FrontierState, crawl_round
         from kit_ray.synth import CorpusConfig
