@@ -32,8 +32,26 @@ from ..stages.data_stages import (
 )
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _par() -> int:
+    """Usable CPU count (pool sizing; a couple reserved for shuffle)."""
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    except Exception:  # pragma: no cover
+        return 4
+
+
+def _read(sf_dir: str, table: str, columns=None, split: bool = False):
+    """Pruned parquet read. ``split=True`` overrides the read's block
+    count to ~2x the CPU count: the testdata tables are single files
+    (one block), which would cap a downstream actor pool's parallelism
+    at 1 (parallelism = input block count, not pool size). A production
+    corpus is many files/row-groups and needs no override."""
+    kw = {}
+    if split:
+        kw["override_num_blocks"] = _par() * 2
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, **kw
+    )
 
 
 def _join_parts(requested: int | None = None) -> int:
@@ -183,14 +201,20 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
 
     Returns the verified pair Dataset (doc_id_a < doc_id_b, jaccard
     rounded to 6dp)."""
-    num_partitions = _join_parts(num_partitions)
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    par = _par()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+    if num_partitions is None:
+        # Size-aware: each hash-join partition pins an aggregator actor
+        # whose startup is pure overhead on small inputs; target ~2M
+        # banded rows per partition, capped by the CPU count.
+        rows = docs.count() * bands
+        num_partitions = max(2, min(_join_parts(None), rows // 2_000_000 + 1))
 
     banded = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(max(1, par // 4), max(2, (3 * par) // 4)),
     ).materialize()  # small int rows (bands per doc); reused twice below
 
     left = banded.map_batches(

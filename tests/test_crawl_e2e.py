@@ -110,6 +110,50 @@ def test_resume_is_byte_identical(ray_session, tmp_path, oracle):
         assert da[col].equals(db[col]), f"column {col} differs after resume"
 
 
+def test_politeness_two_pass_multiblock(ray_session):
+    """The distributed cumcount must be exact when hosts SPAN block
+    boundaries (the offsets path): force many tiny blocks through the
+    sort and compare every tick against the single-process answer."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kit_ray.pipelines.crawl import politeness_ticks_sorted
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    hosts = [f"h{i % 7}.example" for i in range(n)]
+    df = pd.DataFrame(
+        {"host": hosts,
+         "host_rank": rng.permutation(n).astype("int64"),
+         "stack_rank": rng.integers(0, 100, n).astype("int32"),
+         "pos": np.arange(n, dtype="int32"),
+         "crawl_delay_s": [float((i % 7) + 1) for i in range(n)],
+         "url": [f"https://x/{i}" for i in range(n)]}
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # force multi-block sort output
+    try:
+        got = (
+            politeness_ticks_sorted(rd.from_pandas(df).repartition(20))
+            .to_pandas()
+            .sort_values(["host", "host_rank", "stack_rank", "pos"],
+                         kind="stable")
+            .reset_index(drop=True)
+        )
+    finally:
+        ctx.target_max_block_size = old
+    want = df.sort_values(["host", "host_rank", "stack_rank", "pos"],
+                          kind="stable").reset_index(drop=True)
+    want["tick"] = (
+        want.groupby("host", sort=False).cumcount().astype("float64")
+        * want["crawl_delay_s"]
+    )
+    assert np.allclose(got["tick"].to_numpy(), want["tick"].to_numpy())
+
+
 def test_no_resume_clears_stale_output(ray_session, tmp_path):
     """resume=False must not append onto a previous run's parquet in the
     same out_dir (Ray's write_parquet appends): row counts after a
