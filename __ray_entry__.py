@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh_pairs": Q.minhash_lsh_pairs,
         "simhash": Q.simhashes,
+        "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
         "embedding_neardup_ivf": Q.embedding_neardup_ivf,
         # --- similarity search ---

@@ -277,8 +277,87 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
 
 
 def simhashes(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"], split=True).map_batches(
         SimHasher, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64/uint64 array."""
+    u = np.ascontiguousarray(v).view(np.uint8).reshape(len(v), 8)
+    return np.unpackbits(u, axis=1).sum(axis=1).astype(np.int64)
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3, chunks: int = 4,
+                    num_partitions: int | None = None):
+    """SimHash near-dup pairs (hamming <= max_hamming), chunk-bucket
+    LSH with GUARANTEED recall: two 64-bit hashes within Hamming
+    distance < ``chunks`` share at least one identical bit-chunk
+    (pigeonhole), so the hash-partitioned self-join on
+    (chunk, chunk_val) is a COMPLETE candidate generator for
+    ``max_hamming < chunks`` — exactness pinned by pytest against the
+    all-pairs scan. Fully partitioned like minhash_lsh_pairs; the
+    verify is a vectorized popcount on the pair itself (the simhash
+    rides along through the join — no second lookup pass needed)."""
+    num_partitions = _join_parts(num_partitions or 2)
+    sh = simhashes(sf_dir).materialize()  # (doc_id, simhash), reused twice
+
+    w = 64 // chunks
+    mask = np.uint64((1 << w) - 1)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "simhash": pd.Series([], dtype="int64"),
+                 "chunk": pd.Series([], dtype="int32"),
+                 "chunk_val": pd.Series([], dtype="int64")}
+            )
+        v = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        vals = np.stack(
+            [(v >> np.uint64(i * w)) & mask for i in range(chunks)], axis=1
+        )
+        return pd.DataFrame(
+            {"doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), chunks),
+             "simhash": np.repeat(df["simhash"].to_numpy(np.int64), chunks),
+             "chunk": np.tile(np.arange(chunks, dtype=np.int32), n),
+             "chunk_val": vals.ravel().view(np.int64)}
+        )
+
+    exploded = sh.map_batches(explode, batch_format="pandas")
+    left = exploded.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_a", "simhash": "sim_a"}),
+        batch_format="pandas",
+    )
+    right = exploded.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_b", "simhash": "sim_b"}),
+        batch_format="pandas",
+    )
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions,
+        on=("chunk", "chunk_val"), right_on=("chunk", "chunk_val"),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_schema = {"doc_id_a": "int64", "doc_id_b": "int64",
+                      "hamming": "int64"}
+        df = df.loc[df["doc_id_a"] < df["doc_id_b"]]
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in out_schema.items()}
+            )
+        ham = _popcount64(
+            df["sim_a"].to_numpy(np.int64) ^ df["sim_b"].to_numpy(np.int64)
+        )
+        out = df[["doc_id_a", "doc_id_b"]].assign(hamming=ham)
+        return out[out["hamming"] <= max_hamming].astype(out_schema)
+
+    pairs = joined.map_batches(verify, batch_format="pandas")
+    # A pair can match in several chunks: collapse duplicates.
+    return sorted_dedup(
+        pairs, ["doc_id_a", "doc_id_b"], ["doc_id_a", "doc_id_b"],
+        coalesce=(1,),
     )
 
 

@@ -225,6 +225,34 @@ class TestNearDupPipelines:
         assert buck_pairs <= exact_pairs
 
 
+class TestSimHashNearDup:
+    def test_chunk_lsh_matches_all_pairs_scan(self, ray_session):
+        """max_hamming=3 < 4 chunks makes the chunk join a COMPLETE
+        candidate generator (pigeonhole) — the distributed pipeline
+        must equal the exhaustive all-pairs Hamming scan exactly."""
+        import pyarrow.parquet as pq
+
+        from kit_ray.pipelines.dataops import simhash_neardup
+
+        t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_numpy()
+        hs = np.array([D.simhash(x) for x in t["text"].to_pylist()],
+                      dtype=np.int64).view(np.uint64)
+        x = hs[:, None] ^ hs[None, :]
+        pop = np.unpackbits(
+            x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+        ).sum(axis=2)
+        iu = np.triu_indices(len(ids), 1)
+        truth = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(*iu) if pop[i, j] <= 3
+        }
+        got = simhash_neardup("/root/testdata/sf0.01").to_pandas()
+        assert set(zip(got["doc_id_a"], got["doc_id_b"])) == truth
+        assert len(truth) > 0
+
+
 class TestLshRecall:
     def test_lsh_matches_exhaustive_ground_truth(self, ray_session):
         """The distributed MinHash-LSH pipeline must find EXACTLY the
