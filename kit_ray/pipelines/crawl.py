@@ -73,7 +73,7 @@ def _drop_dup_urls(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(subset=["url_key"], keep="first")
 
 
-def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (8, 1)):
+def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (1,)):
     """URL-seen semantics: first occurrence in discovery order wins.
 
     Fully vectorized sort-based dedup (no per-group Python — Ray's
@@ -83,9 +83,9 @@ def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (8, 1)):
     keeps the min-order row per key per block, and order-preserving
     ``repartition`` rounds merge formerly-adjacent blocks so boundary
     duplicates collapse. After pass one a key occupies at most one row
-    per block, so each coalesce round shrinks boundary dupes by the
-    merge factor; the final round must end at 1 block per key-range
-    (here 1 block total — at cluster scale use e.g. (64, 8, 1) ranges).
+    per block, so a single merge round to 1 block per key-range is
+    exact (here 1 block total — at cluster scale use multi-level
+    ranges, e.g. (64, 8, 1), so no round exceeds a worker's heap).
     """
     ds = ds.sort(["url_key", "host_rank", "stack_rank", "pos"])
     ds = ds.map_batches(_drop_dup_urls, batch_format="pandas", batch_size=None)
@@ -120,43 +120,46 @@ def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
     order_cols = ["host", "host_rank", "stack_rank", "pos"]
     sorted_ds = ds.sort(order_cols).materialize()
 
-    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("host", sort=False)
-        return g.agg(
-            n=("host", "size"), first_hr=("host_rank", "first"),
-            first_sr=("stack_rank", "first"), first_pos=("pos", "first"),
-        ).reset_index()
-
-    meta = sorted_ds.map_batches(
-        block_counts, batch_format="pandas", batch_size=None
-    ).to_pandas()  # per-(block, host) metadata only — never the rows
     offsets: dict = {}
-    if len(meta):
-        meta = meta.sort_values(
-            ["host", "first_hr", "first_sr", "first_pos"], kind="stable"
-        )
-        meta["offset"] = meta.groupby("host")["n"].cumsum() - meta["n"]
-        offsets = {
-            (h, int(hr), int(sr), int(p)): int(o)
-            for h, hr, sr, p, o in zip(
-                meta["host"], meta["first_hr"], meta["first_sr"],
-                meta["first_pos"], meta["offset"]
+    if sorted_ds.num_blocks() > 1:
+        # Boundary hosts can only exist across >1 block; with a single
+        # sorted block every cumcount is already global — skip pass A.
+        def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("host", sort=False)
+            return g.agg(
+                n=("host", "size"), first_hr=("host_rank", "first"),
+                first_sr=("stack_rank", "first"), first_pos=("pos", "first"),
+            ).reset_index()
+
+        meta = sorted_ds.map_batches(
+            block_counts, batch_format="pandas", batch_size=None
+        ).to_pandas()  # per-(block, host) metadata only — never the rows
+        if len(meta):
+            meta = meta.sort_values(
+                ["host", "first_hr", "first_sr", "first_pos"], kind="stable"
             )
-        }
+            meta["offset"] = meta.groupby("host")["n"].cumsum() - meta["n"]
+            offsets = {
+                (h, int(hr), int(sr), int(p)): int(o)
+                for h, hr, sr, p, o in zip(
+                    meta["host"], meta["first_hr"], meta["first_sr"],
+                    meta["first_pos"], meta["offset"]
+                )
+            }
     off_ref = ray.put(offsets)
 
     def ticks(df: pd.DataFrame) -> pd.DataFrame:
         off_map = ray.get(off_ref)
         idx = df.groupby("host", sort=False).cumcount().to_numpy()
-        firsts = df.drop_duplicates("host")
-        hmap = {
-            h: off_map[(h, int(hr), int(sr), int(p))]
-            for h, hr, sr, p in zip(
-                firsts["host"], firsts["host_rank"], firsts["stack_rank"],
-                firsts["pos"]
-            )
-        }
-        if hmap:
+        if off_map:  # empty when the sorted schedule is a single block
+            firsts = df.drop_duplicates("host")
+            hmap = {
+                h: off_map[(h, int(hr), int(sr), int(p))]
+                for h, hr, sr, p in zip(
+                    firsts["host"], firsts["host_rank"], firsts["stack_rank"],
+                    firsts["pos"]
+                )
+            }
             idx = idx + df["host"].map(hmap).to_numpy()
         if budget_per_host is not None:
             keep = idx < budget_per_host
@@ -361,6 +364,9 @@ def crawl(
             batch_size=fetch_batch_size,  # binary payloads: keep batches small
             # Pool min sized below the CPU count so upstream read/filter
             # tasks and the write sink never starve (deadlock otherwise).
+            # Max 2/3 of the pool measured faster than par-1 at 8 CPUs
+            # (21.7 s vs 23.4 s images stage): the filter + parquet-write
+            # tasks need the remaining third.
             concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
             num_cpus=1,
         )
