@@ -110,6 +110,38 @@ def test_resume_is_byte_identical(ray_session, tmp_path, oracle):
         assert da[col].equals(db[col]), f"column {col} differs after resume"
 
 
+def test_dedup_multirange_coalesce_equivalent(ray_session):
+    """The cluster-scale multi-level coalesce (e.g. (4, 1) ranges) must
+    produce exactly the single-round result — pinned on a duplicate-
+    heavy frame whose keys span many blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kit_ray.pipelines.crawl import dedup_first_sorted
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    df = pd.DataFrame(
+        {"url_key": [f"k{int(v):04d}" for v in rng.integers(0, 700, n)],
+         "host_rank": rng.integers(0, 50, n).astype("int64"),
+         "stack_rank": rng.integers(0, 50, n).astype("int32"),
+         "pos": np.arange(n, dtype="int32")}
+    )
+    outs = []
+    for rounds in ((1,), (4, 1), (8, 4, 1)):
+        ds = rd.from_pandas(df).repartition(16)
+        out = dedup_first_sorted(ds, coalesce=rounds).to_pandas()
+        outs.append(out.sort_values(list(out.columns)).reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    # Matches the single-process answer.
+    want = (
+        df.sort_values(["url_key", "host_rank", "stack_rank", "pos"])
+        .drop_duplicates("url_key", keep="first")
+        .sort_values(list(df.columns)).reset_index(drop=True)
+    )
+    assert outs[0][want.columns.tolist()].equals(want)
+
+
 def test_politeness_two_pass_multiblock(ray_session):
     """The distributed cumcount must be exact when hosts SPAN block
     boundaries (the offsets path): force many tiny blocks through the
