@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .text import hash_token, to_i64
+from .text import fnv1a_batch, hash_token, to_i64
 
 _MERSENNE = (1 << 61) - 1
 
@@ -35,11 +35,13 @@ def content_hash(texts: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
-    """Hashed k-word shingles (64-bit)."""
+    """Hashed k-word shingles (64-bit; batch-vectorized FNV — same
+    values as hashing each shingle with ``hash_token``)."""
     toks = text.split()
     if len(toks) < k:
         return {hash_token(" ".join(toks))} if toks else set()
-    return {hash_token(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+    sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return set(fnv1a_batch(sh).tolist())
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:

@@ -135,6 +135,29 @@ def hash_token(tok: str) -> int:
     return h
 
 
+def fnv1a_batch(tokens: list[str]) -> np.ndarray:
+    """FNV-1a 64 of many tokens at once (identical values to
+    ``hash_token``): the byte loop runs over the PADDED WIDTH of the
+    batch (~25 iterations of vectorized uint64 ops for word shingles)
+    instead of per-byte per-token Python — the hot kernel under
+    MinHash shingling."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    width = max(1, int(lens.max()))
+    mat = np.frombuffer(
+        np.array(bs, dtype=f"S{width}").tobytes(), dtype=np.uint8
+    ).reshape(len(bs), width).astype(np.uint64)
+    h = np.full(len(bs), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for i in range(width):
+            active = lens > i
+            h = np.where(active, (h ^ mat[:, i]) * prime, h)
+    return h
+
+
 def to_i64(v: int) -> int:
     v &= 0xFFFFFFFFFFFFFFFF
     return v - (1 << 64) if v >= (1 << 63) else v
