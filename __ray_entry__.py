@@ -140,6 +140,33 @@ def _q_seed_canonicalize(sf_dir: str):
     return ds.map_batches(canonicalize_seeds, batch_format="pyarrow")
 
 
+def _q_frontier_rounds(sf_dir: str):
+    """Streaming round mode: the corpus hosts arrive in two overlapping
+    waves; the persistent URL-seen set filters the repeats and the
+    politeness authorities continue each host's ticks across rounds
+    (pipelines/streaming.py; bit-match vs the single-process reference
+    is pinned by tests/test_state.py::test_rounds_bit_match_reference)."""
+    import pandas as pd
+
+    from kit_ray.pipelines.streaming import FrontierState, crawl_round
+    from kit_ray.synth import config_for_sf_dir
+
+    cfg = config_for_sf_dir(sf_dir)
+    hosts = cfg.hosts()
+    k = max(1, (2 * len(hosts)) // 3)
+    state = FrontierState(n_seen_shards=4, n_polite_shards=2)
+    waves = [hosts[:k], hosts[k // 2 :]]  # overlap: seen-set filtering is real
+    frames, offset = [], 0
+    for i, wave in enumerate(waves, 1):
+        r = crawl_round(cfg, state, wave, host_rank_offset=offset,
+                        concurrency=4)
+        frames.append(r.assign(round=i))
+        offset += len(wave)
+    out = pd.concat(frames, ignore_index=True)
+    return out[["round", "url", "host", "tick", "host_rank", "stack_rank",
+                "pos"]].astype({"round": "int64"})
+
+
 def _q_sitemap_roundtrip(sf_dir: str):
     """Builder parity: write the traversal's entries back out as sharded
     <urlset> XML (<=50k records/file), re-parse every shard, and return
@@ -180,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_canonicalize": _q_seed_canonicalize,
         "recrawl_due": Q.recrawl_due,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
+        "frontier_rounds": _q_frontier_rounds,
         # --- text analysis ---
         "token_counts": Q.token_counts,
         "char_class_counts": Q.char_class_counts,
