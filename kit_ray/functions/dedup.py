@@ -125,15 +125,13 @@ def simhash(text: str, _cache: dict[str, int] | None = None) -> int:
     if not toks:
         return 0
     if _cache is None:
-        hs = np.fromiter((hash_token(t) for t in toks), dtype=np.uint64,
-                         count=len(toks))
+        hs = fnv1a_batch(toks)
     else:
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            h = _cache.get(t)
-            if h is None:
-                h = _cache[t] = hash_token(t)
-            hs[i] = h
+        misses = [t for t in toks if t not in _cache]
+        if misses:
+            _cache.update(zip(misses, fnv1a_batch(misses).tolist()))
+        hs = np.fromiter((_cache[t] for t in toks), dtype=np.uint64,
+                         count=len(toks))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
     acc = (2 * bits.astype(np.int32) - 1).sum(axis=0)
     v = 0

@@ -107,7 +107,7 @@ def rolling_fingerprint(texts: pd.Series, window: int = 8) -> pd.Series:
         toks = text.split()
         if not toks:
             return 0
-        hs = [hash_token(t) for t in toks]
+        hs = fnv1a_batch(toks).tolist()
         if len(hs) <= window:
             acc = 0
             for h in hs:
