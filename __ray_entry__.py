@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_region": Q.supplier_by_region,
         "events_hourly": Q.events_hourly,
         "user_sessions": Q.user_sessions,
+        "top_revenue_items": Q.top_revenue_items,
+        "unique_users_per_type": Q.unique_users_per_type,
+        "first_event_per_user": Q.first_event_per_user,
     }
 
 
@@ -422,6 +425,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        "top_revenue_items": """
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem
+            ORDER BY l_extendedprice * (1 - l_discount) DESC,
+                     l_orderkey, l_linenumber
+            LIMIT 20
+        """,
+        "unique_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "first_event_per_user": """
+            SELECT user_id, ts, event_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) = 1
         """,
         "ann_topk": """
             WITH q AS (

@@ -762,6 +762,77 @@ def events_hourly(sf_dir: str):
     return out
 
 
+def top_revenue_items(sf_dir: str, n: int = 20):
+    """Distributed top-N over a large table WITHOUT a global sort:
+    per-block partial top-N inside ``map_batches`` (each block emits at
+    most N rows), then a tiny single-block merge re-applies the same
+    selection — the classic combiner shape for order-by-limit. Ties
+    broken by (l_orderkey, l_linenumber) on both sides."""
+    def select_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        df = df.sort_values(["revenue", "l_orderkey", "l_linenumber"],
+                            ascending=[False, True, True], kind="stable")
+        return df.head(n)
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+        split=True,
+    )
+    partials = ds.map_batches(select_top, batch_format="pandas",
+                              batch_size=None)
+    out = partials.repartition(1).map_batches(
+        select_top, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return out[["l_orderkey", "l_linenumber", "revenue"]].reset_index(drop=True)
+
+
+def unique_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT) at scale: per-block pair dedup (combiner) ->
+    sort-based global dedup of (event_type, user_id) pairs -> per-block
+    partial counts -> tiny groupby. No global set on the driver, no
+    per-pair groups."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"], split=True)
+    pre = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas",
+        batch_size=None,
+    )
+    uniq = sorted_dedup(
+        pre, ["event_type", "user_id"], ["event_type", "user_id"],
+        coalesce=(1,),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).size().rename("n_users")
+        return g.reset_index()
+
+    out = uniq.map_batches(partial, batch_format="pandas").groupby(
+        "event_type"
+    ).aggregate(Sum("n_users", alias_name="n_users")).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def first_event_per_user(sf_dir: str):
+    """Argmin-per-key (each user's earliest event) via the sort-based
+    first-per-key machinery — no per-user map_groups. event_id breaks
+    exact-timestamp ties deterministically on both sides."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"], split=True)
+    first = sorted_dedup(ds, ["user_id", "ts", "event_id"], ["user_id"],
+                         coalesce=(1,))
+    return first.map_batches(
+        lambda df: df[["user_id", "ts", "event_id", "event_type"]].astype(
+            {"user_id": "int64", "event_id": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
 def recrawl_due(sf_dir: str, now: str = "2024-01-01T00:00:00+00:00"):
     """Recrawl-scheduling predicate over the traversal's sitemap entries
     (Frequency::is_outdated arithmetic, frequency.rs:69-100): an entry is
