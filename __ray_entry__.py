@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_priority": Q.orders_by_priority,
         "supplier_by_region": Q.supplier_by_region,
         "events_hourly": Q.events_hourly,
+        "events_sliding": Q.events_sliding,
         "user_sessions": Q.user_sessions,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
@@ -425,6 +426,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        "events_sliding": """
+            WITH e AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL '30 minutes', ts) AS w0,
+                       value
+                FROM events),
+            x AS (
+                SELECT event_type, w0 AS win_start, value FROM e
+                UNION ALL
+                SELECT event_type, w0 - INTERVAL '30 minutes', value FROM e)
+            SELECT event_type, win_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 3) AS sum_value
+            FROM x GROUP BY event_type, win_start
         """,
         "top_revenue_items": """
             SELECT l_orderkey,

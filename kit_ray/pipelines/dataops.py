@@ -833,6 +833,44 @@ def first_event_per_user(sf_dir: str):
     )
 
 
+def events_sliding(sf_dir: str, size_minutes: int = 60, step_minutes: int = 30):
+    """Hopping (sliding) window aggregate: size-minute windows every
+    step minutes, so each event belongs to size/step windows — exploded
+    vectorized inside ``map_batches`` (the combiner shape: per-batch
+    partial aggregates over the exploded rows), then a small groupby.
+    Window [w, w+size) contains t iff w in {floor_step(t) - i*step}."""
+    from ray.data.aggregate import Sum
+
+    k = size_minutes // step_minutes
+    step = pd.Timedelta(minutes=step_minutes)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{step_minutes}min")
+        frames = [
+            pd.DataFrame(
+                {"event_type": df["event_type"],
+                 "win_start": base - i * step,
+                 "value": df["value"]}
+            )
+            for i in range(k)
+        ]
+        e = pd.concat(frames, ignore_index=True)
+        g = e.groupby(["event_type", "win_start"], sort=False)["value"].agg(
+            ["count", "sum"]
+        ).reset_index()
+        return g.rename(columns={"count": "n", "sum": "sum_value"})
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"], split=True)
+    out = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["event_type", "win_start"]
+    ).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(3)
+    return out
+
+
 def recrawl_due(sf_dir: str, now: str = "2024-01-01T00:00:00+00:00"):
     """Recrawl-scheduling predicate over the traversal's sitemap entries
     (Frequency::is_outdated arithmetic, frequency.rs:69-100): an entry is
