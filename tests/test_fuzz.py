@@ -97,3 +97,54 @@ def test_urlset_build_parse_round_trip(rows):
             assert b.priority is None
         else:
             assert abs(b.priority - e.priority) < 0.051  # 1-decimal Display
+
+
+# ---------------------------------------------------------------------------
+# Vectorized hash kernels must equal their scalar definitions bit-for-bit
+# ---------------------------------------------------------------------------
+
+@settings(deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=50))
+def test_fnv1a_batch_equals_scalar(tokens):
+    import numpy as np
+
+    from kit_ray.functions.text import fnv1a_batch, hash_token
+
+    got = fnv1a_batch(tokens)
+    assert got.dtype == np.uint64
+    assert got.tolist() == [hash_token(t) for t in tokens]
+
+
+@settings(deadline=None)
+@given(st.lists(st.integers(0, (1 << 64) - 1), min_size=8, max_size=8),
+       st.integers(1, 4))
+def test_band_keys_batch_equals_bytewise_fnv(sig_vals, nrows):
+    import numpy as np
+
+    from kit_ray.functions.dedup import lsh_band_keys_batch
+    from kit_ray.functions.text import to_i64
+
+    sig = np.array(sig_vals, dtype=np.uint64)
+    bands = len(sig) // nrows if len(sig) % nrows == 0 else 1
+    rows = len(sig) // bands
+    want = []
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows]
+        h = 0xCBF29CE484222325
+        for v in chunk.tobytes():
+            h = ((h ^ v) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        want.append(to_i64(h))
+    assert lsh_band_keys_batch(sig[None, :], bands)[0].tolist() == want
+
+
+@settings(deadline=None)
+@given(st.lists(st.integers(-(1 << 63), (1 << 63) - 1), min_size=1,
+                max_size=64))
+def test_popcount64_equals_bin_count(vals):
+    import numpy as np
+
+    from kit_ray.pipelines.dataops import _popcount64
+
+    arr = np.array(vals, dtype=np.int64)
+    want = [bin(v & 0xFFFFFFFFFFFFFFFF).count("1") for v in vals]
+    assert _popcount64(arr).tolist() == want

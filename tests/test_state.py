@@ -217,6 +217,35 @@ class TestIncrementalFrontier:
             assert got_rows == want_rows
             offset += len(wave)
 
+    def test_checkpoint_resume_round_bit_match(self, ray_session, tmp_path):
+        """Kill-and-resume between rounds: round 2 run from a RESTORED
+        state (seen shards + politeness counters) must be bit-identical
+        to round 2 of the uninterrupted run — the per-partition
+        checkpoint criterion for the streaming frontier."""
+        from kit_ray.pipelines.streaming import FrontierState, crawl_round
+        from kit_ray.synth import CorpusConfig
+
+        cfg = CorpusConfig(seed=29, n_hosts=8, pages_per_host=18)
+        hosts = cfg.hosts()
+
+        a = FrontierState(n_seen_shards=4, n_polite_shards=2)
+        crawl_round(cfg, a, hosts[:5], host_rank_offset=0, concurrency=2)
+        want = crawl_round(cfg, a, hosts[3:], host_rank_offset=5,
+                           concurrency=2)
+
+        b = FrontierState(n_seen_shards=4, n_polite_shards=2)
+        crawl_round(cfg, b, hosts[:5], host_rank_offset=0, concurrency=2)
+        b.checkpoint(str(tmp_path))
+        c = FrontierState(n_seen_shards=4, n_polite_shards=2)  # "restart"
+        assert c.restore(str(tmp_path))
+        got = crawl_round(cfg, c, hosts[3:], host_rank_offset=5,
+                          concurrency=2)
+
+        cols = ["url", "host", "tick", "host_rank", "stack_rank", "pos"]
+        assert got[cols].reset_index(drop=True).equals(
+            want[cols].reset_index(drop=True)
+        )
+
     def test_two_rounds_and_restore(self, ray_session, tmp_path):
         from kit_ray.pipelines.streaming import FrontierState, crawl_round
         from kit_ray.synth import CorpusConfig
