@@ -181,17 +181,31 @@ def _q_sitemap_roundtrip(sf_dir: str):
     out_dir = os.path.join(_crawl_out(sf_dir), "sitemap_roundtrip")
     import shutil
 
+    import ray.data as rd
+
     shutil.rmtree(out_dir, ignore_errors=True)
     manifest = write_urlset_sitemaps(entries, out_dir)
-    rows = []
-    for path in manifest["path"]:
-        with open(path, "rb") as f:
-            for e in parse_urlset(f.read()):
-                rows.append(
-                    {"url": str(e.location), "changefreq": e.frequency,
-                     "priority": e.priority}
-                )
-    return pd.DataFrame(rows)
+
+    def reparse(df: pd.DataFrame) -> pd.DataFrame:
+        # One task per shard batch: the re-parse is distributed, not a
+        # driver loop over every shard's bytes.
+        rows = []
+        for path in df["path"]:
+            with open(path, "rb") as f:
+                for e in parse_urlset(f.read()):
+                    rows.append(
+                        {"url": str(e.location), "changefreq": e.frequency,
+                         "priority": e.priority}
+                    )
+        return pd.DataFrame(
+            rows, columns=["url", "changefreq", "priority"]
+        ).astype({"url": "string", "changefreq": "object",
+                  "priority": "float64"})
+
+    paths = rd.from_pandas(manifest[["path"]]).repartition(
+        max(1, min(len(manifest), 16))
+    )
+    return paths.map_batches(reparse, batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

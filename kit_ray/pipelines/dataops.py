@@ -945,7 +945,9 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
 
     ds = _read(sf_dir, "events", ["user_id", "ts"]).sort(["user_id", "ts"])
     ds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-    for n in (4, 1):  # at cluster scale: (64, 8) user-range blocks
+    for n in (4, 1):  # cluster scale: multi-level, ending at 1 block
+        # per user-range (e.g. (64, 8, 1)) — the last round must hold
+        # each user's partials in one block, like sorted_dedup.
         ds = ds.repartition(n).map_batches(
             combine, batch_format="pandas", batch_size=None
         )
