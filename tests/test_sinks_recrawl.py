@@ -15,7 +15,7 @@ def entry_mod(ray_session):
 def test_sitemap_roundtrip_preserves_urls(entry_mod, tmp_path):
     sf = "/root/testdata/sf0.001"
     entries = entry_mod._q_sitemap_entries(sf).to_pandas()
-    back = entry_mod._q_sitemap_roundtrip(sf)
+    back = entry_mod._q_sitemap_roundtrip(sf).to_pandas()
     # Every traversal entry URL appears in the rebuilt sitemaps (count
     # preserved including duplicates).
     assert sorted(back["url"]) == sorted(entries["url"])
