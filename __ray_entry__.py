@@ -199,8 +199,7 @@ def _q_sitemap_roundtrip(sf_dir: str):
                     )
         return pd.DataFrame(
             rows, columns=["url", "changefreq", "priority"]
-        ).astype({"url": "string", "changefreq": "object",
-                  "priority": "float64"})
+        ).astype({"priority": "float64"})
 
     paths = rd.from_pandas(manifest[["path"]]).repartition(
         max(1, min(len(manifest), 16))
