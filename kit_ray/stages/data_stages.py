@@ -272,6 +272,44 @@ class ImageResize:
         return out
 
 
+class AudioFeatures:
+    """Audio feature-extract stage STUB: no audio codec exists in this
+    container. The Ray-side plumbing (actor signature, small-batch
+    binary contract, fixed-width output schema) is real; real decode
+    raises NotImplementedError, and ``fake=True`` computes deterministic
+    pseudo-features (RMS / zero-crossing rate over the raw bytes as if
+    they were u8 PCM) so the pipeline shape is testable end to end."""
+
+    OUTPUT_SCHEMA = pa.schema(
+        [("media_id", pa.string()), ("n_samples", pa.int64()),
+         ("rms", pa.float64()), ("zcr", pa.float64())]
+    )
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "n_samples": [], "rms": [], "zcr": []}
+        for mid, blob in zip(
+            batch["media_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            if not self.fake:
+                raise NotImplementedError(
+                    "no audio codec in this container; run with fake=True"
+                )
+            x = np.frombuffer(blob or b"\x80", dtype=np.uint8).astype(
+                np.float64
+            ) - 127.5
+            rows["media_id"].append(mid)
+            rows["n_samples"].append(len(x))
+            rows["rms"].append(round(float(np.sqrt(np.mean(x * x))), 6))
+            rows["zcr"].append(
+                round(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                      if len(x) > 1 else 0.0, 6)
+            )
+        return pa.table(rows, schema=self.OUTPUT_SCHEMA)
+
+
 class FrameSample:
     """Video frame-sampling stage STUB: no video codec exists in this
     container. The Ray-side plumbing (actor signature, batch contract,

@@ -253,6 +253,63 @@ class TestSimHashNearDup:
         assert len(truth) > 0
 
 
+class TestMultimodalStubs:
+    """The audio/video stages are honest stubs (no codecs in this
+    container) but their RAY plumbing — actor pools over binary batches
+    with fixed output schemas — must actually run."""
+
+    def _media_ds(self, n=40):
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        return rd.from_items(
+            [{"media_id": f"m{i:03d}",
+              "bytes": rng.integers(0, 256, 4096 * (1 + i % 3),
+                                    dtype=np.uint8).tobytes()}
+             for i in range(n)]
+        ).repartition(4)
+
+    def test_audio_features_fake_mode_runs(self, ray_session):
+        from kit_ray.stages.data_stages import AudioFeatures
+
+        out = self._media_ds().map_batches(
+            AudioFeatures, fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 40
+        assert list(out.columns) == ["media_id", "n_samples", "rms", "zcr"]
+        assert (out["rms"] > 0).all() and out["zcr"].between(0, 1).all()
+        # Deterministic across runs.
+        again = self._media_ds().map_batches(
+            AudioFeatures, fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert out.sort_values("media_id").reset_index(drop=True).equals(
+            again.sort_values("media_id").reset_index(drop=True)
+        )
+
+    def test_frame_sample_fake_mode_runs(self, ray_session):
+        from kit_ray.stages.data_stages import FrameSample
+
+        out = self._media_ds().map_batches(
+            FrameSample, fn_constructor_kwargs={"fake": True, "every_n": 2},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert list(out.columns) == ["media_id", "frame_idx", "frame"]
+        assert len(out) >= 40  # at least one frame per media item
+
+    def test_stubs_raise_without_fake(self):
+        import pyarrow as pa
+
+        from kit_ray.stages.data_stages import AudioFeatures, FrameSample
+
+        t = pa.table({"media_id": ["x"], "bytes": [b"1234"]})
+        with pytest.raises(NotImplementedError):
+            AudioFeatures()(t)
+        with pytest.raises(NotImplementedError):
+            FrameSample()(t)
+
+
 class TestLshRecall:
     def test_lsh_matches_exhaustive_ground_truth(self, ray_session):
         """The distributed MinHash-LSH pipeline must find EXACTLY the
