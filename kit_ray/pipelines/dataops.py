@@ -127,7 +127,8 @@ def doc_quality(sf_dir: str):
     list_filter stopword hits, least/greatest clipping) — float columns
     rounded to 6dp on both sides for the exact value-hash."""
     ds = _read(sf_dir, "documents").map_batches(
-        TextFeatures, batch_format="pandas", concurrency=(1, 4)
+        TextFeatures, batch_format="pandas",
+        concurrency=(1, max(4, _par() // 2)),
     )
 
     def round6(df: pd.DataFrame) -> pd.DataFrame:
@@ -141,7 +142,7 @@ def doc_quality(sf_dir: str):
 
 def lang_id_preds(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 4)
+        LangId, batch_format="pandas", concurrency=(1, max(4, _par() // 2))
     )
 
 
@@ -278,7 +279,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
 
 def simhashes(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"], split=True).map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, 4)
+        SimHasher, batch_format="pandas", concurrency=(1, max(4, _par() // 2))
     )
 
 
