@@ -157,11 +157,14 @@ def _q_frontier_rounds(sf_dir: str):
     state = FrontierState(n_seen_shards=4, n_polite_shards=2)
     waves = [hosts[:k], hosts[k // 2 :]]  # overlap: seen-set filtering is real
     frames, offset = [], 0
-    for i, wave in enumerate(waves, 1):
-        r = crawl_round(cfg, state, wave, host_rank_offset=offset,
-                        concurrency=4)
-        frames.append(r.assign(round=i))
-        offset += len(wave)
+    try:
+        for i, wave in enumerate(waves, 1):
+            r = crawl_round(cfg, state, wave, host_rank_offset=offset,
+                            concurrency=4)
+            frames.append(r.assign(round=i))
+            offset += len(wave)
+    finally:
+        state.shutdown()  # actors must not outlive the query call
     out = pd.concat(frames, ignore_index=True)
     return out[["round", "url", "host", "tick", "host_rank", "stack_rank",
                 "pos"]].astype({"round": "int64"})

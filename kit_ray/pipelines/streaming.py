@@ -47,6 +47,11 @@ class FrontierState:
         self.polite.restore(dir_path)  # optional (older checkpoints)
         return ok
 
+    def shutdown(self):
+        """Kill the state actors when the frontier's lifetime ends."""
+        self.seen.shutdown()
+        self.polite.shutdown()
+
 
 def crawl_round(
     cfg: CorpusConfig,

@@ -132,6 +132,20 @@ class PolitenessPool:
                 self.shards[st["shard"]].load_state(st)
         return True
 
+    def shutdown(self):
+        """Kill the authority actors (tests / bounded-lifetime rounds:
+        lingering actors reserve CPU slivers and can starve later actor
+        pools on small clusters)."""
+        if self.use_ray:
+            import ray
+
+            for s in self.shards:
+                try:
+                    ray.kill(s)
+                except Exception:  # pragma: no cover - already dead
+                    pass
+        self.shards = []
+
     def reserve(self, counts: dict[str, int]) -> dict[str, tuple[int, float]]:
         """Reserve slot ranges for many hosts in one call per shard."""
         per: dict[int, dict[str, int]] = {}

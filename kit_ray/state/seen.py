@@ -269,6 +269,20 @@ class SeenSet:
             self.shards = [SeenShard(i, n_bits, cuckoo_buckets, exact)
                            for i in range(n_shards)]
 
+    def shutdown(self):
+        """Kill the shard actors — bounded-lifetime states (tests, one
+        query call) must not leave actors reserving CPU slivers that can
+        starve later actor pools on small clusters."""
+        if self.use_ray:
+            import ray
+
+            for s in self.shards:
+                try:
+                    ray.kill(s)
+                except Exception:  # pragma: no cover - already dead
+                    pass
+        self.shards = []
+
     def _route(self, urls: Iterable[str]):
         buckets: dict[int, list[tuple[int, int]]] = {}
         for idx, u in enumerate(urls):

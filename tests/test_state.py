@@ -202,20 +202,23 @@ class TestIncrementalFrontier:
         want = _stream_reference(cfg, waves)
 
         state = FrontierState(n_seen_shards=4, n_polite_shards=2)
-        offset = 0
-        for wave, wround in zip(waves, want):
-            got = crawl_round(cfg, state, wave, host_rank_offset=offset,
-                              concurrency=2)
-            got_rows = list(zip(got["url"], got["host"], got["tick"],
-                                got["host_rank"], got["stack_rank"],
-                                got["pos"]))
-            want_rows = [
-                (r["url"], r["host"], r["tick"], r["host_rank"],
-                 r["stack_rank"], r["pos"])
-                for r in wround
-            ]
-            assert got_rows == want_rows
-            offset += len(wave)
+        try:
+            offset = 0
+            for wave, wround in zip(waves, want):
+                got = crawl_round(cfg, state, wave, host_rank_offset=offset,
+                                  concurrency=2)
+                got_rows = list(zip(got["url"], got["host"], got["tick"],
+                                    got["host_rank"], got["stack_rank"],
+                                    got["pos"]))
+                want_rows = [
+                    (r["url"], r["host"], r["tick"], r["host_rank"],
+                     r["stack_rank"], r["pos"])
+                    for r in wround
+                ]
+                assert got_rows == want_rows
+                offset += len(wave)
+        finally:
+            state.shutdown()
 
     def test_checkpoint_resume_round_bit_match(self, ray_session, tmp_path):
         """Kill-and-resume between rounds: round 2 run from a RESTORED
@@ -229,17 +232,26 @@ class TestIncrementalFrontier:
         hosts = cfg.hosts()
 
         a = FrontierState(n_seen_shards=4, n_polite_shards=2)
-        crawl_round(cfg, a, hosts[:5], host_rank_offset=0, concurrency=2)
-        want = crawl_round(cfg, a, hosts[3:], host_rank_offset=5,
-                           concurrency=2)
+        try:
+            crawl_round(cfg, a, hosts[:5], host_rank_offset=0, concurrency=2)
+            want = crawl_round(cfg, a, hosts[3:], host_rank_offset=5,
+                               concurrency=2)
+        finally:
+            a.shutdown()
 
         b = FrontierState(n_seen_shards=4, n_polite_shards=2)
-        crawl_round(cfg, b, hosts[:5], host_rank_offset=0, concurrency=2)
-        b.checkpoint(str(tmp_path))
+        try:
+            crawl_round(cfg, b, hosts[:5], host_rank_offset=0, concurrency=2)
+            b.checkpoint(str(tmp_path))
+        finally:
+            b.shutdown()
         c = FrontierState(n_seen_shards=4, n_polite_shards=2)  # "restart"
-        assert c.restore(str(tmp_path))
-        got = crawl_round(cfg, c, hosts[3:], host_rank_offset=5,
-                          concurrency=2)
+        try:
+            assert c.restore(str(tmp_path))
+            got = crawl_round(cfg, c, hosts[3:], host_rank_offset=5,
+                              concurrency=2)
+        finally:
+            c.shutdown()
 
         cols = ["url", "host", "tick", "host_rank", "stack_rank", "pos"]
         assert got[cols].reset_index(drop=True).equals(
@@ -254,18 +266,27 @@ class TestIncrementalFrontier:
         hosts = cfg.hosts()
 
         state = FrontierState(n_seen_shards=4, n_polite_shards=2)
-        r1 = crawl_round(cfg, state, hosts[:5], host_rank_offset=0, concurrency=2)
-        assert len(r1) > 0
-        # Round 2 includes two repeat hosts: their URLs are already seen.
-        r2 = crawl_round(cfg, state, hosts[3:], host_rank_offset=5, concurrency=2)
-        repeat_urls = set(r1["url"])
-        assert not (set(r2["url"]) & repeat_urls)
-        # Hosts 5..7 did get crawled in round 2.
-        assert any(h in set(r2["host"]) for h in hosts[5:])
+        state2 = None
+        try:
+            r1 = crawl_round(cfg, state, hosts[:5], host_rank_offset=0,
+                             concurrency=2)
+            assert len(r1) > 0
+            # Round 2 includes two repeat hosts: their URLs are already seen.
+            r2 = crawl_round(cfg, state, hosts[3:], host_rank_offset=5,
+                             concurrency=2)
+            repeat_urls = set(r1["url"])
+            assert not (set(r2["url"]) & repeat_urls)
+            # Hosts 5..7 did get crawled in round 2.
+            assert any(h in set(r2["host"]) for h in hosts[5:])
 
-        # Checkpoint, rebuild state, restore: repeats still recognized.
-        state.checkpoint(str(tmp_path))
-        state2 = FrontierState(n_seen_shards=4, n_polite_shards=2)
-        assert state2.restore(str(tmp_path))
-        r3 = crawl_round(cfg, state2, hosts[:5], host_rank_offset=0, concurrency=2)
-        assert len(r3) == 0  # everything from round 1 is seen
+            # Checkpoint, rebuild state, restore: repeats still recognized.
+            state.checkpoint(str(tmp_path))
+            state2 = FrontierState(n_seen_shards=4, n_polite_shards=2)
+            assert state2.restore(str(tmp_path))
+            r3 = crawl_round(cfg, state2, hosts[:5], host_rank_offset=0,
+                             concurrency=2)
+            assert len(r3) == 0  # everything from round 1 is seen
+        finally:
+            state.shutdown()
+            if state2 is not None:
+                state2.shutdown()
