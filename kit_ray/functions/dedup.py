@@ -82,6 +82,11 @@ def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
     batch instead of per chunk."""
     n, num_perm = sigs.shape
     rows = num_perm // bands
+    if rows * bands != num_perm:
+        # Drop the trailing remainder rows (same keys as the scalar
+        # per-doc implementation, which chunked floor(num_perm/bands)
+        # rows per band and ignored the leftover).
+        sigs = sigs[:, : rows * bands]
     # (n, bands, rows*8) uint8 view — C-order LE bytes per chunk.
     by = np.ascontiguousarray(sigs.reshape(n, bands, rows)).view(np.uint8)
     by = by.reshape(n, bands, rows * 8).astype(np.uint64)

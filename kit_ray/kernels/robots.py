@@ -20,7 +20,8 @@ reference source:
 - serde cache shape ........................... /root/reference/exclusion/parse/serde.rs
 
 These are pure-Python kernels: no Ray imports. The Ray layer wraps them
-in stateful ``map_batches`` actor pools (see kit_ray/stages/robots_gate.py).
+in stateful ``map_batches`` actor pools (see RobotsGate in
+kit_ray/stages/crawl_stages.py).
 """
 
 from __future__ import annotations

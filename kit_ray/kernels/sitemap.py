@@ -59,9 +59,11 @@ class LimitError(Exception):
 
 _ISO_RE = re.compile(
     # The time-crate Iso8601::PARSING grammar requires the 'T'
-    # date/time separator and the seconds component; a space separator
-    # or omitted seconds must NOT parse (entry.rs:109).
-    r"^\s*(\d{4})-(\d{2})-(\d{2})[Tt](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)"
+    # date/time separator but allows reduced precision: components
+    # after the hour and their separators may be omitted, with a
+    # missing second defaulting to 0 (entry.rs:109; time crate
+    # Parsed->Time conversion). A space separator must NOT parse.
+    r"^\s*(\d{4})-(\d{2})-(\d{2})[Tt](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?"
     r"(Z|z|[+-]\d{2}(?::?\d{2})?)\s*$"
 )
 

@@ -112,12 +112,17 @@ def expand_sitemaps(
         if fmt in ("plain", "entry"):
             yield (sitemap_url, base, blob, False)
             continue
+        # Iterate-and-catch so a record/byte limit keeps the prefix of
+        # children already parsed — the reference emits each record as
+        # read and only fails on the NEXT read once over the cap
+        # (inclusion/parse/mod.rs:44-57).
+        slot = 0
         try:
-            children = list(parse_sitemapindex(blob))
+            for child in parse_sitemapindex(blob):
+                slot += 1
+                yield (child.location, base + slot, None, True)
         except LimitError:
-            children = []
-        for slot, child in enumerate(children, start=1):
-            yield (child.location, base + slot, None, True)
+            pass
 
 
 def traverse_host(

@@ -137,6 +137,21 @@ def test_band_keys_batch_equals_bytewise_fnv(sig_vals, nrows):
     assert lsh_band_keys_batch(sig[None, :], bands)[0].tolist() == want
 
 
+def test_band_keys_batch_non_divisible_truncates():
+    """num_perm not divisible by bands: trailing remainder rows are
+    ignored (scalar-implementation parity), not a ValueError."""
+    import numpy as np
+
+    from kit_ray.functions.dedup import lsh_band_keys_batch
+
+    rng = np.random.default_rng(7)
+    sigs = rng.integers(0, 1 << 63, size=(5, 10), dtype=np.uint64)
+    got = lsh_band_keys_batch(sigs, bands=3)  # 10 // 3 = 3 rows, 1 dropped
+    want = lsh_band_keys_batch(np.ascontiguousarray(sigs[:, :9]), bands=3)
+    assert got.shape == (5, 3)
+    assert (got == want).all()
+
+
 @settings(deadline=None)
 @given(st.lists(st.integers(-(1 << 63), (1 << 63) - 1), min_size=1,
                 max_size=64))

@@ -210,9 +210,13 @@ class TestScalars:
         )
         assert iso8601_parse("2022-06-04") is None  # date-only fails
         assert iso8601_parse("garbage") is None
-        # time-crate grammar: 'T' separator and seconds are required.
+        # time-crate grammar: 'T' separator is required, but components
+        # after the hour may be omitted (reduced precision); a missing
+        # second defaults to 0.
         assert iso8601_parse("2022-09-08 10:43:13+00:00") is None
-        assert iso8601_parse("2022-09-08T10:43+00:00") is None
+        assert iso8601_parse("2022-09-08T10:43+00:00") == datetime(
+            2022, 9, 8, 10, 43, 0, tzinfo=timezone.utc
+        )
 
     def test_iso8601_format_two_decimals(self):
         # build/inner.rs:9-13: 2-decimal seconds.

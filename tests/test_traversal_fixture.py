@@ -68,6 +68,42 @@ def test_hand_enumerated_order():
     assert got == EXPECTED
 
 
+def test_over_limit_index_keeps_parsed_prefix():
+    """A sitemapindex past RECORD_LIMIT keeps the children parsed before
+    the limit trips (inclusion/parse/mod.rs:44-57 fails on the NEXT
+    read, so the emitted prefix stands) — in both the expand kernel and
+    the full drive loop."""
+    from kit_ray.kernels.sitemap import RECORD_LIMIT
+    from kit_ray.kernels.traverse import expand_sitemaps
+
+    n = RECORD_LIMIT + 10
+    big_index = b"<sitemapindex>" + b"".join(
+        b"<sitemap><loc>https://h.example/c%d.txt</loc></sitemap>" % i
+        for i in range(n)
+    ) + b"</sitemapindex>"
+    web = {"https://h.example/idx.xml": big_index}
+    # Leaves: only the first two exist; the rest 404 (skipped).
+    web["https://h.example/c0.txt"] = b"https://h.example/u0"
+    web["https://h.example/c1.txt"] = b"https://h.example/u1"
+
+    roots = [Url.parse("https://h.example/idx.xml")]
+    leaves = list(expand_sitemaps(roots, lambda u: web.get(str(u))))
+    # records+2 > RECORD_LIMIT guard: the XML parser emits at most
+    # RECORD_LIMIT - 1 full records before raising.
+    assert len(leaves) == RECORD_LIMIT - 1
+    assert str(leaves[0][0]) == "https://h.example/c0.txt"
+    assert [rank for _, rank, _, _ in leaves[:3]] == [1, 2, 3]
+
+    got = [
+        (str(t.entry.location), t.stack_rank, t.pos)
+        for t in traverse_host(roots, lambda u: web.get(str(u)))
+    ]
+    assert got == [
+        ("https://h.example/u0", 1, 0),
+        ("https://h.example/u1", 2, 0),
+    ]
+
+
 def test_counting_io():
     # countio parity: byte accounting through the wrappers
     # (countio/counter/stdlib.rs:54-113 test shape).
