@@ -54,6 +54,22 @@ def _read(sf_dir: str, table: str, columns=None, split: bool = False):
     )
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet footer metadata — no Dataset pass
+    over the corpus (a ``ds.count()`` would re-read every block just to
+    size partitions)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _join_parts(requested: int | None = None) -> int:
     """Hash-join partition count bounded by the cluster CPU count: each
     partition pins a HashShuffleAggregator actor, and more aggregators
@@ -207,8 +223,9 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
     if num_partitions is None:
         # Size-aware: each hash-join partition pins an aggregator actor
         # whose startup is pure overhead on small inputs; target ~2M
-        # banded rows per partition, capped by the CPU count.
-        rows = docs.count() * bands
+        # banded rows per partition, capped by the CPU count. Row count
+        # comes from parquet footers — no extra pass over the corpus.
+        rows = _table_rows(sf_dir, "documents") * bands
         num_partitions = max(2, min(_join_parts(None), rows // 2_000_000 + 1))
 
     banded = docs.map_batches(
@@ -382,38 +399,51 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.5,
     Production near-dup uses ~0.95; the synthetic embeddings are
     near-orthogonal (max off-diagonal cosine ~0.6), so the default here
     is 0.5 to keep the demo output non-degenerate."""
+    import shutil
     import tempfile
 
+    from ..sources.storage import shared_scratch_dir
     from ..stages.data_stages import CrossChunkScore
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    n = emb.count()
+    n = _table_rows(sf_dir, "embeddings")  # parquet footers, no pass
     n_chunks = max(1, (n + chunk_rows - 1) // chunk_rows)
 
-    chunk_dir = tempfile.mkdtemp(prefix="neardup_chunks_", dir="/tmp")
+    # Chunk store lives on the storage seam: a directory every node can
+    # read ($KIT_RAY_SHARED_DIR on a real cluster; /tmp single-node),
+    # since CrossChunkScore actors re-open chunks by path off-driver.
+    chunk_dir = tempfile.mkdtemp(
+        prefix="run_", dir=shared_scratch_dir("neardup_chunks")
+    )
 
     def add_chunk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["chunk"] = (df["vec_id"] % n_chunks).astype("int32")
         return df
 
-    emb.map_batches(add_chunk, batch_format="pandas").write_parquet(
-        chunk_dir, partition_cols=["chunk"]
-    )
+    try:
+        emb.map_batches(add_chunk, batch_format="pandas").write_parquet(
+            chunk_dir, partition_cols=["chunk"]
+        )
 
-    tasks = rd.from_items(
-        [{"ci": i, "cj": j}
-         for i in range(n_chunks) for j in range(i, n_chunks)]
-    )
-    n_tasks = n_chunks * (n_chunks + 1) // 2
-    tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
-    return tasks.map_batches(
-        CrossChunkScore,
-        fn_constructor_kwargs={"chunk_dir": chunk_dir, "threshold": threshold},
-        batch_format="pandas",
-        batch_size=1,
-        concurrency=(1, 8),
-    )
+        tasks = rd.from_items(
+            [{"ci": i, "cj": j}
+             for i in range(n_chunks) for j in range(i, n_chunks)]
+        )
+        n_tasks = n_chunks * (n_chunks + 1) // 2
+        tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
+        # Materialize the (small) pair result so the chunk store can be
+        # deleted here instead of leaking one table copy per call.
+        return tasks.map_batches(
+            CrossChunkScore,
+            fn_constructor_kwargs={"chunk_dir": chunk_dir,
+                                   "threshold": threshold},
+            batch_format="pandas",
+            batch_size=1,
+            concurrency=(1, 8),
+        ).materialize()
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
 
 
 def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
@@ -615,20 +645,40 @@ def tpch_q1(sf_dir: str):
 
 
 def top_customers(sf_dir: str, n: int = 10):
-    """Top-N customers by total order value: broadcast-join the (small)
-    customer dim into an orders aggregate — no shuffle join."""
+    """Top-N customers by total order value, fully distributed: groupby
+    aggregate per customer, then the per-block partial top-N combiner
+    (the ``top_revenue_items`` shape — each block emits at most N rows
+    before the tiny single-block merge). Only the N-row result and the
+    N matching dim rows (predicate-pruned read) ever reach the driver —
+    no O(customers) materialization."""
     from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     per_cust = orders.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="total_spent")
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
-    df = per_cust.to_pandas().merge(
-        cust, left_on="o_custkey", right_on="c_custkey", how="inner"
-    )
-    df["total_spent"] = df["total_spent"].round(2)
-    df = df.sort_values(["total_spent", "c_custkey"], ascending=[False, True]).head(n)
+
+    def select_top(df: pd.DataFrame) -> pd.DataFrame:
+        # Round before ordering so ties at 2dp rank exactly like the
+        # oracle's ORDER BY round(...) DESC, c_custkey.
+        df = df.assign(total_spent=df["total_spent"].round(2))
+        df = df.sort_values(["total_spent", "o_custkey"],
+                            ascending=[False, True], kind="stable")
+        return df.head(n)
+
+    top = per_cust.map_batches(
+        select_top, batch_format="pandas", batch_size=None
+    ).repartition(1).map_batches(
+        select_top, batch_format="pandas", batch_size=None
+    ).to_pandas()  # <= n rows
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        filter=pc.field("c_custkey").isin(top["o_custkey"].tolist()),
+    ).to_pandas()  # <= n rows (row groups pruned at the read)
+    df = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    df = df.sort_values(["total_spent", "c_custkey"], ascending=[False, True])
     return df[["c_custkey", "c_name", "c_mktsegment", "total_spent"]].reset_index(
         drop=True
     )

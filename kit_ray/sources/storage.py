@@ -37,6 +37,36 @@ def lance_available() -> bool:
 FORMAT = "lance" if lance_available() else "parquet"
 
 
+def shared_scratch_dir(name: str) -> str:
+    """A scratch directory EVERY node of the cluster can read — for
+    intermediate tables that distributed actors re-open by path (e.g.
+    embedding_neardup's chunk store).
+
+    On a real cluster set ``$KIT_RAY_SHARED_DIR`` to a shared mount or
+    object-store URI; unset, we fall back to ``/tmp``, which is
+    node-local and therefore valid ONLY single-node — asserted against
+    the live cluster so a multi-node run fails loudly instead of
+    silently reading empty directories on remote nodes."""
+    root = os.environ.get("KIT_RAY_SHARED_DIR")
+    if root is None:
+        try:
+            import ray
+
+            alive = [n for n in ray.nodes() if n.get("Alive")]
+        except Exception:  # pragma: no cover - no ray session yet
+            alive = []
+        if len(alive) > 1:  # pragma: no cover - single-node sandbox
+            raise RuntimeError(
+                "KIT_RAY_SHARED_DIR must point at shared storage "
+                "(NFS mount / object-store URI) on a multi-node "
+                "cluster; the /tmp fallback is node-local."
+            )
+        root = "/tmp"
+    path = os.path.join(root, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def write_dataset(ds, path: str, *, partition_cols=None):
     """Write a ray.data.Dataset to ``path`` in the preferred format."""
     if FORMAT == "lance":

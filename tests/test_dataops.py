@@ -210,9 +210,26 @@ class TestNearDupPipelines:
 
         truth = {(a, b) for a, b, _ in
                  D.cosine_pairs(np.arange(n), vecs.astype(np.float64), 0.95)}
-        exact = embedding_neardup(
-            str(tmp_path), threshold=0.95, chunk_rows=128
-        ).to_pandas()
+        # Chunk store flows through the storage seam: point
+        # KIT_RAY_SHARED_DIR at a fresh dir and verify the pipeline
+        # reads chunks from it AND removes its run dir afterwards.
+        import os
+
+        shared = tmp_path / "shared"
+        old = os.environ.get("KIT_RAY_SHARED_DIR")
+        os.environ["KIT_RAY_SHARED_DIR"] = str(shared)
+        try:
+            exact = embedding_neardup(
+                str(tmp_path), threshold=0.95, chunk_rows=128
+            ).to_pandas()
+        finally:
+            if old is None:
+                del os.environ["KIT_RAY_SHARED_DIR"]
+            else:  # pragma: no cover
+                os.environ["KIT_RAY_SHARED_DIR"] = old
+        scratch = shared / "neardup_chunks"
+        assert scratch.is_dir()  # the seam was used...
+        assert list(scratch.iterdir()) == []  # ...and cleaned up
         exact_pairs = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
         assert exact_pairs == truth
         assert set(planted) <= exact_pairs
