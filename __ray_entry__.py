@@ -159,8 +159,11 @@ def _q_frontier_rounds(sf_dir: str):
     frames, offset = [], 0
     try:
         for i, wave in enumerate(waves, 1):
+            # crawl_round returns a materialized Dataset (object-store
+            # resident); collecting it here is the QUERY's choice at
+            # sf0.01, not an engine-side funnel.
             r = crawl_round(cfg, state, wave, host_rank_offset=offset,
-                            concurrency=4)
+                            concurrency=4).to_pandas()
             frames.append(r.assign(round=i))
             offset += len(wave)
     finally:

@@ -17,12 +17,14 @@ the images stage re-fetches only buckets whose manifest is missing.
 Kill the job anywhere and re-run — output is byte-identical to an
 uninterrupted run (pinned by tests/test_crawl_e2e.py).
 
-Shuffles (exactly three, SURVEY §4): the range-sort on url_key for the
-seen set (dedup_first_sorted), the host-sort for politeness ticks
-(politeness_ticks_sorted), and the final sort of the (small) schedule
-metadata. Image rows are written unsorted with their order
-keys attached — consumers needing global order sort the metadata, not
-the payload bytes.
+Shuffles (exactly two, SURVEY §4): the range-sort on url_key for the
+seen set (dedup_first_sorted) and the host-sort for politeness ticks
+(politeness_ticks_sorted); partitioned policy mode adds the hash join
+that co-locates entries with their robots_cache row. The schedule and
+image rows are written UNSORTED with their order keys attached —
+consumers needing global (tick, ...) order sort the small metadata at
+read time, not the pipeline output (a third full sort paid a fixed
+~2.5 s barrier regardless of CPU count).
 """
 
 from __future__ import annotations
@@ -201,8 +203,22 @@ def crawl(
     fetch_batch_size: int = 128,
     only_buckets: list[int] | None = None,
     budget_per_host: int | None = None,
+    policy_mode: str = "auto",
+    broadcast_max_hosts: int = 1_000_000,
 ) -> dict:
-    """Run (or resume) the full crawl; returns a summary dict."""
+    """Run (or resume) the full crawl; returns a summary dict.
+
+    ``policy_mode`` selects how the robots gate sees the per-host
+    policy cache: ``"broadcast"`` ships the whole {host: policy} map
+    once via ``ray.put`` (right up to ~10^6 hosts); ``"partitioned"``
+    hash-co-locates entries with their robots_cache row via a
+    ``Dataset.join`` on host and gates inside the co-located batches —
+    the ≫10^6-host scale mode where a broadcast would not fit.
+    ``"auto"`` (default) refuses broadcast above ``broadcast_max_hosts``
+    and switches to partitioned. Output is bit-identical across modes
+    (pinned by tests)."""
+    if policy_mode not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown policy_mode: {policy_mode!r}")
     par = concurrency or _default_parallelism()
     digest = _digest(cfg, n_buckets, budget_per_host)
     os.makedirs(out_dir, exist_ok=True)
@@ -238,16 +254,24 @@ def crawl(
         )
     summary["robots_rows"] = pq_count(robots_dir)
 
-    # Broadcast the per-host policy cache once (small side; see
-    # stages/crawl_stages.py for the >10^6-host partitioned alternative).
-    if robots_mat is not None:
-        rdf = robots_mat.select_columns(["host", "policy_json"]).to_pandas()
-    else:
-        rdf = storage_read_parquet_table(robots_dir).select(
-            ["host", "policy_json"]
-        ).to_pandas()
-    policies = dict(zip(rdf["host"], rdf["policy_json"]))
-    policies_ref = ray.put(policies)
+    if policy_mode == "auto":
+        policy_mode = (
+            "broadcast" if summary["robots_rows"] <= broadcast_max_hosts
+            else "partitioned"
+        )
+    summary["policy_mode"] = policy_mode
+
+    policies_ref = None
+    if policy_mode == "broadcast":
+        # Ship the whole per-host policy cache once (small side); the
+        # partitioned mode below never materializes this map anywhere.
+        if robots_mat is not None:
+            rdf = robots_mat.select_columns(["host", "policy_json"]).to_pandas()
+        else:
+            rdf = storage_read_parquet_table(robots_dir).select(
+                ["host", "policy_json"]
+            ).to_pandas()
+        policies_ref = ray.put(dict(zip(rdf["host"], rdf["policy_json"])))
 
     # ---- stage 2: traversal -> gate -> dedup -> politeness -> schedule --
     order_dir = os.path.join(out_dir, "crawl_order")
@@ -275,8 +299,11 @@ def crawl(
             concurrency=(1, max(2, par // 3)),
             num_cpus=1,
         )
-        gated = leaves.repartition(par * 2).map_batches(
+        parsed = leaves.repartition(par * 2).map_batches(
             SitemapParse,
+            # Broadcast mode fuses the gate into the parse pool (one
+            # pool, one hop); partitioned mode parses ungated and gates
+            # after the co-location join below.
             fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},
             batch_format="pyarrow",
             batch_size=4,  # a batch is a unit of sitemap-parallelism
@@ -286,6 +313,32 @@ def crawl(
             concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
             num_cpus=1,
         )
+        if policy_mode == "partitioned":
+            # Hash-co-locate entries with their host's policy row: the
+            # join partitions BOTH sides by hash(host), so each output
+            # batch carries exactly the policies it needs — no broadcast
+            # of the full cache anywhere (≫10^6-host mode).
+            from ..stages.crawl_stages import CoPartitionedGate
+
+            pol_side = robots_ds.select_columns(["host", "policy_json"])
+            gated = parsed.join(
+                pol_side, join_type="inner",
+                num_partitions=max(2, min(par, 8)),
+                on=("host",), right_on=("host",),
+                # Aggregator actors route/buffer (memory-bound, not
+                # CPU-bound); any CPU reservation for them stacks on the
+                # three actor pools' minimums and starves the stage's
+                # Repartition/Sort TASKS outright at small CPU counts
+                # (measured: startup deadlock at 4 CPUs even at 0.25).
+                aggregator_ray_remote_args={"num_cpus": 0},
+            ).map_batches(
+                CoPartitionedGate,
+                batch_format="pyarrow",
+                concurrency=(1, max(2, par // 2)),
+                num_cpus=1,
+            )
+        else:
+            gated = parsed
         deduped = dedup_first_sorted(gated)
         scheduled = politeness_ticks_sorted(deduped, budget_per_host)
 
@@ -295,9 +348,13 @@ def crawl(
             hmap = {h: host_bucket(h, n_buckets) for h in df["host"].unique()}
             return df.assign(bucket=df["host"].map(hmap).astype("int32"))
 
-        final = scheduled.map_batches(add_bucket, batch_format="pandas").sort(
-            ["tick", "host_rank", "stack_rank", "pos"]
-        )
+        # The schedule is written WITH its order keys but UNSORTED: the
+        # politeness pass already left it host-ordered, stage 3 only
+        # filters by bucket, and every consumer that needs global
+        # (tick, ...) order sorts the small metadata at read time —
+        # saving the third full sort of the stage (Ray sort costs a
+        # fixed ~2.5 s sample/boundary/barrier regardless of CPUs).
+        final = scheduled.map_batches(add_bucket, batch_format="pandas")
         final.write_parquet(order_dir)
         os.makedirs(order_dir, exist_ok=True)  # zero-row writes create nothing
         storage.write_manifest(

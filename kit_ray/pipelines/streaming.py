@@ -59,11 +59,16 @@ def crawl_round(
     hosts: list[str],
     host_rank_offset: int = 0,
     concurrency: int = 4,
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+):
     """One frontier round: robots -> traversal+gate -> in-round dedup ->
     cross-round seen filter -> politeness ticks. Returns the round's
-    scheduled rows (url, host, tick, order keys) sorted by
-    (tick, host_rank, stack_rank, pos)."""
+    schedule as a materialized ray.data.Dataset (url, host, tick, order
+    keys) sorted by (tick, host_rank, stack_rank, pos) — blocks stay in
+    the object store; the driver never collects the round (a round can
+    be most of the frontier at the 10^10 design point). With ``out_dir``
+    the round is also written as ``round=K/`` parquet with a lineage
+    manifest, like the batch pipeline's stage checkpoints."""
     state.round += 1
     seeds = rd.from_items(
         [
@@ -137,8 +142,11 @@ def crawl_round(
         block_counts, batch_format="pandas", batch_size=None
     ).to_pandas()  # per-(block, host) metadata only
     if not len(meta):
-        empty = survivors.to_pandas()
-        return empty.assign(tick=pd.Series(dtype="float64"))
+        empty = survivors.map_batches(
+            lambda df: df.assign(tick=pd.Series(dtype="float64")),
+            batch_format="pandas", batch_size=None,
+        ).materialize()
+        return _finish_round(empty, state, out_dir)
     meta = meta.sort_values(
         ["host", "first_hr", "first_sr", "first_pos"], kind="stable"
     )
@@ -175,9 +183,29 @@ def crawl_round(
 
     out = survivors.map_batches(
         ticks, batch_format="pandas", batch_size=None
-    ).to_pandas()  # round schedule metadata (bounded per round)
-    if not len(out):
-        return out
-    return out.sort_values(
-        ["tick", "host_rank", "stack_rank", "pos"], kind="stable"
-    ).reset_index(drop=True)
+    ).sort(["tick", "host_rank", "stack_rank", "pos"]).materialize()
+    return _finish_round(out, state, out_dir)
+
+
+def _finish_round(ds, state: FrontierState, out_dir: str | None):
+    """Optionally checkpoint the round as parquet + lineage manifest;
+    hand the (materialized, object-store-resident) Dataset back."""
+    if out_dir is None:
+        return ds
+    import os
+    import shutil
+    import time
+
+    from ..sources import storage
+
+    round_dir = os.path.join(out_dir, f"round={state.round}")
+    shutil.rmtree(round_dir, ignore_errors=True)
+    t0 = time.time()
+    ds.write_parquet(round_dir)
+    os.makedirs(round_dir, exist_ok=True)  # zero-row writes create nothing
+    storage.write_manifest(
+        round_dir, stage="frontier_round", digest=f"round-{state.round}",
+        rows=ds.count(), schema=ds.schema().names, started=t0,
+        extra={"round": state.round},
+    )
+    return ds

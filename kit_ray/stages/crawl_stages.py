@@ -13,10 +13,13 @@ the URL's own host.
 
 The small side (per-host policy cache) is broadcast once via
 ``ray.put`` and read per actor in ``__init__`` — never re-shipped per
-batch. At the 10^10-URL design point (≫10^6 hosts) the broadcast is
-replaced by hash-partition co-location of entries with their
-``robots_cache`` shard (same ``hash(host)`` key both sides); the
-broadcast mode used here is correct to ~10^6 hosts (~200 MB).
+batch. That mode is correct to ~10^6 hosts (~200 MB). At the 10^10-URL
+design point (≫10^6 hosts) ``crawl(policy_mode="partitioned")``
+switches to hash-partition co-location: entries are joined with their
+``robots_cache`` row on ``host`` (``Dataset.join`` hash-partitions both
+sides on the same key) and gated inside the co-located batches by
+``CoPartitionedGate`` — the driver never materializes the host->policy
+map at all. ``policy_mode="auto"`` picks by host count.
 """
 
 from __future__ import annotations
@@ -343,6 +346,55 @@ class RobotsGate:
         batch = batch.append_column("url_key", pa.array(keys, pa.string()))
         batch = batch.append_column("crawl_delay_s", pa.array(delays))
         return batch.filter(pa.array(keep))
+
+
+class CoPartitionedGate:
+    """Partitioned-mode robots gate — the ≫10^6-host scale path.
+
+    Entries arrive already hash-co-located with their host's
+    ``policy_json`` (``Dataset.join`` on ``host`` partitions both the
+    entries and the robots_cache by the same key hash), so each batch
+    carries the policies it needs as a column instead of every actor
+    holding a broadcast of ALL policies. Policies compile once per host
+    per actor (a hash partition holds a bounded host set, and one host's
+    rows land in one partition — the distributed analogue of the
+    parse-once/match-many ``Arc`` policy, exclusion/parse/mod.rs:67-70).
+    Verdict core identical to RobotsGate (inner.rs:92-110)."""
+
+    def __init__(self):
+        import json
+
+        self._json = json
+        self._compiled: dict[str, Robots] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        pjs = batch["policy_json"].to_pylist()
+        keep = np.zeros(len(urls), dtype=bool)
+        delays = np.zeros(len(urls), dtype=np.float64)
+        keys: list[str | None] = [None] * len(urls)
+        for i, (u, h, pj) in enumerate(zip(urls, hosts, pjs)):
+            if pj is None:
+                continue  # no robots_cache row: unfetchable host
+            pol = self._compiled.get(h)
+            if pol is None:
+                pol = Robots.from_cache(self._json.loads(pj))
+                self._compiled[h] = pol
+            parsed = try_parse(u)
+            if parsed is None:
+                continue
+            if pol.is_absolute_allowed(parsed):
+                keep[i] = True
+                keys[i] = canonical_url(u)
+                d = pol.crawl_delay()
+                delays[i] = float(d) if d else 0.0
+        batch = batch.append_column("url_key", pa.array(keys, pa.string()))
+        batch = batch.append_column("crawl_delay_s", pa.array(delays))
+        batch = batch.filter(pa.array(keep))
+        return batch.select(
+            [n for n in batch.column_names if n != "policy_json"]
+        )
 
 
 class PageFetch:

@@ -248,3 +248,40 @@ def test_skewed_corpus_bit_match(ray_session, tmp_path):
     # The skew is real: hot hosts dominate the row count.
     sizes = df.groupby("host").size()
     assert sizes.max() > 5 * sizes.median()
+
+
+class TestPartitionedPolicyMode:
+    """policy_mode="partitioned": the robots gate runs on batches
+    hash-co-located with their robots_cache row (Dataset.join on host)
+    instead of a broadcast {host: policy} dict — the >10^6-host scale
+    mode. Output must be bit-identical to broadcast mode."""
+
+    def test_partitioned_mode_bit_matches_oracle(self, ray_session, tmp_path,
+                                                 oracle):
+        out = str(tmp_path / "part")
+        s = crawl(CFG, out, concurrency=3, n_buckets=8,
+                  policy_mode="partitioned")
+        assert s["policy_mode"] == "partitioned"
+        assert s["complete"]
+        df = _engine_order(out)
+        got = list(zip(df["url"], df["tick"], df["host_rank"],
+                       df["stack_rank"], df["pos"]))
+        want = [(r["url"], r["tick"], r["host_rank"], r["stack_rank"],
+                 r["pos"]) for r in oracle.crawl_order]
+        assert got == want
+        assert set(df["url_key"]) == oracle.seen
+
+    def test_auto_refuses_broadcast_above_host_cap(self, ray_session,
+                                                   tmp_path, engine_out):
+        """At a host count above broadcast_max_hosts, auto mode must
+        switch to partitioned — and produce the identical schedule the
+        broadcast run produced."""
+        out = str(tmp_path / "auto")
+        s = crawl(CFG, out, concurrency=3, n_buckets=8,
+                  broadcast_max_hosts=2)  # 14 hosts > 2: refuse broadcast
+        assert s["policy_mode"] == "partitioned"
+        want = _engine_order(engine_out)  # broadcast-mode run
+        got = _engine_order(out)
+        cols = ["url", "host", "url_key", "tick", "host_rank",
+                "stack_rank", "pos", "crawl_delay_s", "bucket"]
+        assert got[cols].equals(want[cols])

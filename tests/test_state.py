@@ -206,7 +206,7 @@ class TestIncrementalFrontier:
             offset = 0
             for wave, wround in zip(waves, want):
                 got = crawl_round(cfg, state, wave, host_rank_offset=offset,
-                                  concurrency=2)
+                                  concurrency=2).to_pandas()
                 got_rows = list(zip(got["url"], got["host"], got["tick"],
                                     got["host_rank"], got["stack_rank"],
                                     got["pos"]))
@@ -235,7 +235,7 @@ class TestIncrementalFrontier:
         try:
             crawl_round(cfg, a, hosts[:5], host_rank_offset=0, concurrency=2)
             want = crawl_round(cfg, a, hosts[3:], host_rank_offset=5,
-                               concurrency=2)
+                               concurrency=2).to_pandas()
         finally:
             a.shutdown()
 
@@ -249,7 +249,7 @@ class TestIncrementalFrontier:
         try:
             assert c.restore(str(tmp_path))
             got = crawl_round(cfg, c, hosts[3:], host_rank_offset=5,
-                              concurrency=2)
+                              concurrency=2).to_pandas()
         finally:
             c.shutdown()
 
@@ -269,11 +269,11 @@ class TestIncrementalFrontier:
         state2 = None
         try:
             r1 = crawl_round(cfg, state, hosts[:5], host_rank_offset=0,
-                             concurrency=2)
+                             concurrency=2).to_pandas()
             assert len(r1) > 0
             # Round 2 includes two repeat hosts: their URLs are already seen.
             r2 = crawl_round(cfg, state, hosts[3:], host_rank_offset=5,
-                             concurrency=2)
+                             concurrency=2).to_pandas()
             repeat_urls = set(r1["url"])
             assert not (set(r2["url"]) & repeat_urls)
             # Hosts 5..7 did get crawled in round 2.
@@ -284,9 +284,45 @@ class TestIncrementalFrontier:
             state2 = FrontierState(n_seen_shards=4, n_polite_shards=2)
             assert state2.restore(str(tmp_path))
             r3 = crawl_round(cfg, state2, hosts[:5], host_rank_offset=0,
-                             concurrency=2)
-            assert len(r3) == 0  # everything from round 1 is seen
+                             concurrency=2).count()
+            assert r3 == 0  # everything from round 1 is seen
         finally:
             state.shutdown()
             if state2 is not None:
                 state2.shutdown()
+
+
+class TestRoundCheckpointOutput:
+    def test_round_written_as_parquet_with_manifest(self, ray_session, tmp_path):
+        """out_dir mode: each round lands as round=K/ parquet plus a
+        lineage manifest, and the returned Dataset matches the files —
+        the streaming analogue of the batch pipeline's stage
+        checkpoints (no full-round driver collect anywhere)."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        from kit_ray.pipelines.streaming import FrontierState, crawl_round
+        from kit_ray.sources import storage
+        from kit_ray.synth import CorpusConfig
+
+        cfg = CorpusConfig(seed=31, n_hosts=6, pages_per_host=12)
+        hosts = cfg.hosts()
+        state = FrontierState(n_seen_shards=4, n_polite_shards=2)
+        try:
+            ds = crawl_round(cfg, state, hosts, host_rank_offset=0,
+                             concurrency=2, out_dir=str(tmp_path))
+            rdir = os.path.join(str(tmp_path), "round=1")
+            m = storage.valid_checkpoint(rdir, "round-1")
+            assert m is not None and m["rows"] == ds.count() > 0
+            filed = pads.dataset(
+                rdir, format="parquet", ignore_prefixes=[".", "_"]
+            ).to_table().to_pandas()
+            cols = ["url", "host", "tick", "host_rank", "stack_rank", "pos"]
+            got = ds.to_pandas()[cols]
+            key = ["tick", "host_rank", "stack_rank", "pos"]
+            assert filed[cols].sort_values(key).reset_index(drop=True).equals(
+                got.sort_values(key).reset_index(drop=True)
+            )
+        finally:
+            state.shutdown()
