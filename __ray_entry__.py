@@ -213,6 +213,19 @@ def _q_sitemap_roundtrip(sf_dir: str):
     return paths.map_batches(reparse, batch_format="pandas")
 
 
+def _q_crawl_phash_neardup(sf_dir: str):
+    """Perceptual-hash copy detection over the crawl's image table:
+    every stored row plus a decoded-payload variant (``#re``), paired
+    by 64-bit phash hamming proximity (pigeonhole-complete chunk LSH,
+    pipelines/dataops.py::phash_copy_pairs). Lossy (q6) re-encodes land
+    within a few bits of their source; lossless land at hamming 0 —
+    the image-payload near-dup capability of the engine."""
+    from kit_ray.pipelines.dataops import phash_copy_pairs
+
+    out = _run_crawl(sf_dir)
+    return phash_copy_pairs(os.path.join(out, "images"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kit_ray.pipelines import dataops as Q
 
@@ -227,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_due": Q.recrawl_due,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "frontier_rounds": _q_frontier_rounds,
+        "crawl_phash_neardup": _q_crawl_phash_neardup,
         # --- text analysis ---
         "token_counts": Q.token_counts,
         "char_class_counts": Q.char_class_counts,

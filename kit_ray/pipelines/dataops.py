@@ -306,20 +306,21 @@ def _popcount64(v: np.ndarray) -> np.ndarray:
     return np.unpackbits(u, axis=1).sum(axis=1).astype(np.int64)
 
 
-def simhash_neardup(sf_dir: str, max_hamming: int = 3, chunks: int = 4,
-                    num_partitions: int | None = None):
-    """SimHash near-dup pairs (hamming <= max_hamming), chunk-bucket
-    LSH with GUARANTEED recall: two 64-bit hashes within Hamming
+def hamming_pairs_64(sh, id_col: str, hash_col: str, max_hamming: int,
+                     chunks: int, num_partitions: int,
+                     id_dtype: str = "int64"):
+    """Near-dup pairs over a (id, 64-bit hash) Dataset: chunk-bucket
+    LSH with GUARANTEED recall — two 64-bit hashes within Hamming
     distance < ``chunks`` share at least one identical bit-chunk
     (pigeonhole), so the hash-partitioned self-join on
     (chunk, chunk_val) is a COMPLETE candidate generator for
-    ``max_hamming < chunks`` — exactness pinned by pytest against the
-    all-pairs scan. Fully partitioned like minhash_lsh_pairs; the
-    verify is a vectorized popcount on the pair itself (the simhash
-    rides along through the join — no second lookup pass needed)."""
-    num_partitions = _join_parts(num_partitions or 2)
-    sh = simhashes(sf_dir).materialize()  # (doc_id, simhash), reused twice
+    ``max_hamming < chunks``. Fully partitioned like minhash_lsh_pairs;
+    the verify is a vectorized popcount on the pair itself (the hash
+    rides along through the join — no second lookup pass). Shared by
+    simhash_neardup (documents) and phash_copy_pairs (images).
 
+    Returns (``{id_col}_a``, ``{id_col}_b``, hamming) with a < b."""
+    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
     w = 64 // chunks
     mask = np.uint64((1 << w) - 1)
 
@@ -327,29 +328,29 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, chunks: int = 4,
         n = len(df)
         if not n:
             return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "simhash": pd.Series([], dtype="int64"),
+                {id_col: pd.Series([], dtype=id_dtype),
+                 hash_col: pd.Series([], dtype="int64"),
                  "chunk": pd.Series([], dtype="int32"),
                  "chunk_val": pd.Series([], dtype="int64")}
             )
-        v = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        v = df[hash_col].to_numpy(np.int64).view(np.uint64)
         vals = np.stack(
             [(v >> np.uint64(i * w)) & mask for i in range(chunks)], axis=1
         )
         return pd.DataFrame(
-            {"doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), chunks),
-             "simhash": np.repeat(df["simhash"].to_numpy(np.int64), chunks),
+            {id_col: np.repeat(df[id_col].to_numpy(), chunks),
+             hash_col: np.repeat(df[hash_col].to_numpy(np.int64), chunks),
              "chunk": np.tile(np.arange(chunks, dtype=np.int32), n),
              "chunk_val": vals.ravel().view(np.int64)}
         )
 
     exploded = sh.map_batches(explode, batch_format="pandas")
     left = exploded.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_a", "simhash": "sim_a"}),
+        lambda df: df.rename(columns={id_col: a_col, hash_col: "h_a"}),
         batch_format="pandas",
     )
     right = exploded.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_b", "simhash": "sim_b"}),
+        lambda df: df.rename(columns={id_col: b_col, hash_col: "h_b"}),
         batch_format="pandas",
     )
     joined = left.join(
@@ -358,24 +359,61 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, chunks: int = 4,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        out_schema = {"doc_id_a": "int64", "doc_id_b": "int64",
-                      "hamming": "int64"}
-        df = df.loc[df["doc_id_a"] < df["doc_id_b"]]
+        out_schema = {a_col: id_dtype, b_col: id_dtype, "hamming": "int64"}
+        df = df.loc[df[a_col] < df[b_col]]
         if not len(df):
             return pd.DataFrame(
                 {c: pd.Series([], dtype=t) for c, t in out_schema.items()}
             )
         ham = _popcount64(
-            df["sim_a"].to_numpy(np.int64) ^ df["sim_b"].to_numpy(np.int64)
+            df["h_a"].to_numpy(np.int64) ^ df["h_b"].to_numpy(np.int64)
         )
-        out = df[["doc_id_a", "doc_id_b"]].assign(hamming=ham)
+        out = df[[a_col, b_col]].assign(hamming=ham)
         return out[out["hamming"] <= max_hamming].astype(out_schema)
 
     pairs = joined.map_batches(verify, batch_format="pandas")
     # A pair can match in several chunks: collapse duplicates.
-    return sorted_dedup(
-        pairs, ["doc_id_a", "doc_id_b"], ["doc_id_a", "doc_id_b"],
-        coalesce=(1,),
+    return sorted_dedup(pairs, [a_col, b_col], [a_col, b_col], coalesce=(1,))
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3, chunks: int = 4,
+                    num_partitions: int | None = None):
+    """SimHash near-dup pairs (hamming <= max_hamming) over documents —
+    ``hamming_pairs_64`` applied to the SimHasher stage; exactness for
+    ``max_hamming < chunks`` pinned by pytest against the all-pairs
+    scan."""
+    sh = simhashes(sf_dir).materialize()  # (doc_id, simhash), reused twice
+    return hamming_pairs_64(
+        sh, "doc_id", "simhash", max_hamming, chunks,
+        _join_parts(num_partitions or 2),
+    )
+
+
+def phash_copy_pairs(images_dir: str, max_hamming: int = 7, chunks: int = 8,
+                     num_partitions: int | None = None):
+    """Perceptual-hash copy detection over the crawl's image table: each
+    stored row contributes its source phash AND the phash of its
+    DECODED payload (``image_id#re``) — for lossy formats (q6) the two
+    differ by a few bits, for lossless they are identical — and
+    ``hamming_pairs_64`` finds every (original, re-encoded copy) pair.
+    This is the image-payload near-dup shape: detecting re-encoded
+    copies of the same picture across a corpus by phash proximity, with
+    pigeonhole-complete recall for hamming < chunks."""
+    import ray.data as rd
+
+    from ..stages.data_stages import PhashVariants
+
+    imgs = rd.read_parquet(
+        images_dir, file_extensions=["parquet"],
+        columns=["image_id", "bytes", "fmt", "w", "h", "phash"],
+    )
+    variants = imgs.map_batches(
+        PhashVariants, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, max(2, _par() // 2)),
+    )
+    return hamming_pairs_64(
+        variants, "img_key", "ph", max_hamming, chunks,
+        _join_parts(num_partitions or 2), id_dtype="object",
     )
 
 

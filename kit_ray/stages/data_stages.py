@@ -245,6 +245,33 @@ class ImageDecode:
         return out
 
 
+class PhashVariants:
+    """Image row -> two (img_key, ph) rows: the stored source phash and
+    the phash of the DECODED payload (key suffixed ``#re``). Feeds
+    ``hamming_pairs_64`` for perceptual-hash copy detection — a lossy
+    re-encode (q6) shifts a few phash bits, a lossless one none; pairs
+    within the hamming budget are re-encoded copies of one picture."""
+
+    def __init__(self):
+        from ..functions.imagegen import average_phash, decode_image
+
+        self.decode = decode_image
+        self.phash = average_phash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        keys = list(ids)
+        hashes = batch["phash"].to_pylist()
+        for row in batch.select(["bytes", "fmt", "w", "h"]).to_pylist():
+            px = self.decode(row)
+            hashes.append(self.phash(px))
+        keys += [f"{i}#re" for i in ids]
+        return pa.table(
+            {"img_key": pa.array(keys, pa.string()),
+             "ph": pa.array(hashes, pa.int64())}
+        )
+
+
 class ImageResize:
     """Nearest-neighbor resize to a fixed (size x size) thumbnail; emits
     raw RGB bytes. Vision-model preprocessing shape."""

@@ -350,3 +350,59 @@ class TestLshRecall:
         got_pairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
         assert got_pairs == truth
         assert len(truth) > 0
+
+
+class TestPhashCopyPairs:
+    def test_pairs_match_all_pairs_scan(self, ray_session, tmp_path):
+        """Perceptual-hash copy detection: the chunk-LSH pipeline must
+        equal the exhaustive hamming scan over the variant set
+        (stored phash + decoded-payload phash per image), and lossless
+        rows must pair with their own re-encode at hamming 0."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        from kit_ray.functions.imagegen import average_phash, decode_image
+        from kit_ray.pipelines.crawl import crawl
+        from kit_ray.pipelines.dataops import phash_copy_pairs
+        from kit_ray.synth import CorpusConfig
+
+        cfg = CorpusConfig(seed=3, n_hosts=5, pages_per_host=10)
+        out = str(tmp_path / "out")
+        crawl(cfg, out, concurrency=2, n_buckets=4)
+        images_dir = os.path.join(out, "images")
+
+        t = pads.dataset(images_dir, format="parquet", partitioning="hive",
+                         ignore_prefixes=[".", "_"]).to_table(
+            columns=["image_id", "bytes", "fmt", "w", "h", "phash"]
+        )
+        keys, hs = [], []
+        for r in t.to_pylist():
+            keys.append(r["image_id"])
+            hs.append(r["phash"])
+            keys.append(r["image_id"] + "#re")
+            hs.append(average_phash(decode_image(r)))
+        hv = np.array(hs, dtype=np.int64).view(np.uint64)
+        x = hv[:, None] ^ hv[None, :]
+        pop = np.unpackbits(
+            x.view(np.uint8).reshape(len(keys), len(keys), 8), axis=2
+        ).sum(axis=2)
+        iu = np.triu_indices(len(keys), 1)
+        truth = {
+            tuple(sorted((keys[i], keys[j])))
+            for i, j in zip(*iu) if pop[i, j] <= 7
+        }
+        assert truth  # lossless self-pairs guarantee hits
+
+        got = phash_copy_pairs(images_dir).to_pandas()
+        pairs = set(zip(got["img_key_a"], got["img_key_b"]))
+        assert pairs == truth
+        # Lossless rows pair with their own re-encode at hamming 0.
+        zero = got[got["hamming"] == 0]
+        fmts = {r["image_id"]: r["fmt"] for r in t.to_pylist()}
+        lossless = {k for k, f in fmts.items() if f in ("raw", "png")}
+        self_pairs = {
+            a for a, b in zip(zero["img_key_a"], zero["img_key_b"])
+            if b == a + "#re"
+        }
+        assert lossless <= self_pairs
