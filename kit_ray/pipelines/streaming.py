@@ -187,6 +187,43 @@ def crawl_round(
     return _finish_round(out, state, out_dir)
 
 
+def fetch_round(round_ds, cfg: CorpusConfig, out_dir: str,
+                round_no: int, n_buckets: int = 16,
+                fetch_batch_size: int = 128, concurrency: int = 4):
+    """Fetch a round's scheduled URLs into the image-table layout
+    (``images_round=K/bucket=J/``) — the streaming counterpart of the
+    batch pipeline's stage 3, reusing the same PageFetch actor pool and
+    hash(host) bucket partitioning (PageFetch derives the bucket when
+    the schedule lacks the column). Returns (rows, dir)."""
+    import os
+
+    from ..stages.crawl_stages import PageFetch
+
+    rdir = os.path.join(out_dir, f"images_round={round_no}")
+    images = round_ds.map_batches(
+        PageFetch,
+        fn_constructor_kwargs={"cfg": cfg, "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        batch_size=fetch_batch_size,  # binary payloads: small batches
+        concurrency=(1, max(2, concurrency)),
+        num_cpus=1,
+    )
+    from ..sources import storage
+
+    storage.write_dataset(images, rdir, partition_cols=["bucket"])
+    os.makedirs(rdir, exist_ok=True)
+    import time
+
+    rows = round_ds.count()
+    storage.write_manifest(
+        rdir, stage="round_images", digest=f"round-{round_no}", rows=rows,
+        schema=["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "payload_bytes", "url"],
+        started=time.time(), extra={"round": round_no},
+    )
+    return rows, rdir
+
+
 def _finish_round(ds, state: FrontierState, out_dir: str | None):
     """Optionally checkpoint the round as parquet + lineage manifest;
     hand the (materialized, object-store-resident) Dataset back."""

@@ -380,6 +380,13 @@ class CoPartitionedGate:
             pol = self._compiled.get(h)
             if pol is None:
                 pol = Robots.from_cache(self._json.loads(pj))
+                if len(self._compiled) >= 200_000:
+                    # A hash partition's host set is bounded but can
+                    # still be large at the 10^10 design point; recycle
+                    # rather than grow without bound (entries arrive
+                    # host-clustered after the join, so eviction cost
+                    # is one recompile per ~200k hosts).
+                    self._compiled.clear()
                 self._compiled[h] = pol
             parsed = try_parse(u)
             if parsed is None:

@@ -326,3 +326,41 @@ class TestRoundCheckpointOutput:
             )
         finally:
             state.shutdown()
+
+    def test_fetch_round_images_bit_match(self, ray_session, tmp_path):
+        """Streaming fetch: images fetched for a round must carry the
+        same deterministic payload rows (caption/phash/pixels) the
+        batch fetch produces for those URLs."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        from kit_ray.functions.imagegen import make_image_row
+        from kit_ray.pipelines.streaming import (
+            FrontierState,
+            crawl_round,
+            fetch_round,
+        )
+        from kit_ray.synth import CorpusConfig
+
+        cfg = CorpusConfig(seed=37, n_hosts=5, pages_per_host=10)
+        state = FrontierState(n_seen_shards=4, n_polite_shards=2)
+        try:
+            ds = crawl_round(cfg, state, cfg.hosts(), host_rank_offset=0,
+                             concurrency=2)
+            rows, rdir = fetch_round(ds, cfg, str(tmp_path), state.round,
+                                     n_buckets=4, concurrency=2)
+            assert rows == ds.count() > 0
+            got = pads.dataset(
+                rdir, format="parquet", partitioning="hive",
+                ignore_prefixes=[".", "_"],
+            ).to_table().to_pylist()
+            assert len(got) == rows
+            for r in got:
+                want = make_image_row(r["url"], cfg.seed,
+                                      getattr(cfg, "image_scale", 1))
+                assert r["caption"] == want["caption"]
+                assert r["phash"] == want["phash"]
+                assert r["bytes"] == want["bytes"]
+        finally:
+            state.shutdown()
