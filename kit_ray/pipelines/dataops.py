@@ -82,6 +82,19 @@ def _join_parts(requested: int | None = None) -> int:
     return max(2, min(requested or 8, cpus))
 
 
+def _rename_clean(mapping: dict):
+    """Zero-copy arrow column rename that also strips the ``b'pandas'``
+    schema metadata pandas-derived blocks carry (its nested dict makes
+    pa.Schema unhashable, so every shuffle aggregator logs a warning
+    and loses schema dedup). Cheaper than the pandas rename it
+    replaces — no data copy at all."""
+    def f(t: pa.Table) -> pa.Table:
+        out = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+        return out.replace_schema_metadata(None)
+
+    return f
+
+
 def sorted_dedup(ds, sort_keys, subset, coalesce=(8, 1)):
     """First-row-per-key, fully vectorized: global range-sort on
     ``sort_keys`` makes each key contiguous, a per-block
@@ -236,12 +249,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
     ).materialize()  # small int rows (bands per doc); reused twice below
 
     left = banded.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_a"}),
-        batch_format="pandas",
+        _rename_clean({"doc_id": "doc_id_a"}), batch_format="pyarrow"
     )
     right = banded.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_b"}),
-        batch_format="pandas",
+        _rename_clean({"doc_id": "doc_id_b"}), batch_format="pyarrow"
     )
     joined = left.join(
         right, join_type="inner", num_partitions=num_partitions,
@@ -259,12 +270,12 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
     )
 
     docs_a = docs.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_a", "text": "text_a"}),
-        batch_format="pandas",
+        _rename_clean({"doc_id": "doc_id_a", "text": "text_a"}),
+        batch_format="pyarrow",
     )
     docs_b = docs.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_b", "text": "text_b"}),
-        batch_format="pandas",
+        _rename_clean({"doc_id": "doc_id_b", "text": "text_b"}),
+        batch_format="pyarrow",
     )
     with_a = cands.join(
         docs_a, join_type="inner", num_partitions=num_partitions,
@@ -346,12 +357,10 @@ def hamming_pairs_64(sh, id_col: str, hash_col: str, max_hamming: int,
 
     exploded = sh.map_batches(explode, batch_format="pandas")
     left = exploded.map_batches(
-        lambda df: df.rename(columns={id_col: a_col, hash_col: "h_a"}),
-        batch_format="pandas",
+        _rename_clean({id_col: a_col, hash_col: "h_a"}), batch_format="pyarrow"
     )
     right = exploded.map_batches(
-        lambda df: df.rename(columns={id_col: b_col, hash_col: "h_b"}),
-        batch_format="pandas",
+        _rename_clean({id_col: b_col, hash_col: "h_b"}), batch_format="pyarrow"
     )
     joined = left.join(
         right, join_type="inner", num_partitions=num_partitions,
