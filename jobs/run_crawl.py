@@ -42,6 +42,12 @@ def main() -> int:
     p.add_argument("--concurrency", type=int, default=None)
     p.add_argument("--budget-per-host", type=int, default=None,
                    help="politeness budget: max pages fetched per host")
+    p.add_argument("--policy-mode", default="auto",
+                   choices=["auto", "broadcast", "partitioned"],
+                   help="robots-policy gate mode: broadcast the cache "
+                        "(<=10^6 hosts) or hash-co-locate entries with "
+                        "their robots_cache row (the >10^6-host path); "
+                        "auto picks by host count")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only used when this process owns the Ray session")
     p.add_argument("--seed-urls", action="store_true",
@@ -85,6 +91,7 @@ def main() -> int:
         n_buckets=args.n_buckets,
         concurrency=args.concurrency,
         budget_per_host=args.budget_per_host,
+        policy_mode=args.policy_mode,
     )
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
