@@ -98,7 +98,8 @@ def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (1,)):
     return ds
 
 
-def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
+def politeness_ticks_sorted(ds, budget_per_host: int | None = None,
+                            single_block: bool = False):
     """Vectorized politeness schedule: each host's i-th URL (in
     discovery order) gets tick ``i * crawl_delay_s``; ``budget_per_host``
     truncates each host's queue (the north rule's politeness budget).
@@ -118,9 +119,21 @@ def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
       pass B: per-block ``groupby.cumcount`` plus the block's broadcast
               offset for each host, then the budget filter and the tick
               arithmetic — all vectorized.
+
+    ``single_block=True`` is the caller's guarantee that ``ds`` is one
+    block (e.g. the dedup stage's trailing ``repartition(1)``): an
+    in-block vectorized sort is then a global sort, skipping the Ray
+    sort's fixed sample/boundary/barrier cost entirely. The multi-block
+    cluster path keeps the real distributed sort.
     """
     order_cols = ["host", "host_rank", "stack_rank", "pos"]
-    sorted_ds = ds.sort(order_cols).materialize()
+    if single_block:
+        sorted_ds = ds.map_batches(
+            lambda df: df.sort_values(order_cols, kind="stable"),
+            batch_format="pandas", batch_size=None,
+        ).materialize()
+    else:
+        sorted_ds = ds.sort(order_cols).materialize()
 
     offsets: dict = {}
     if sorted_ds.num_blocks() > 1:
@@ -339,8 +352,16 @@ def crawl(
             )
         else:
             gated = parsed
-        deduped = dedup_first_sorted(gated)
-        scheduled = politeness_ticks_sorted(deduped, budget_per_host)
+        # dedup's trailing repartition(1) statically guarantees one
+        # block, so the politeness sort runs in-block (no second Ray
+        # sort barrier). At cluster scale pass multi-level coalesce
+        # ranges here and drop single_block.
+        dedup_coalesce: tuple[int, ...] = (1,)
+        deduped = dedup_first_sorted(gated, coalesce=dedup_coalesce)
+        scheduled = politeness_ticks_sorted(
+            deduped, budget_per_host,
+            single_block=dedup_coalesce[-1] == 1,
+        )
 
         def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
             # Fetch-resume bucket assigned here (vectorized over the
