@@ -75,31 +75,79 @@ def _drop_dup_urls(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(subset=["url_key"], keep="first")
 
 
-def dedup_first_sorted(ds, coalesce: tuple[int, ...] = (1,)):
+def dedup_first_sorted(ds):
     """URL-seen semantics: first occurrence in discovery order wins.
 
-    Fully vectorized sort-based dedup (no per-group Python — Ray's
-    groupby().map_groups costs ~1 ms per group, fatal with one group per
-    URL): global range-sort on (url_key, discovery order key) makes each
-    key's rows contiguous, a per-block ``drop_duplicates(keep=first)``
-    keeps the min-order row per key per block, and order-preserving
-    ``repartition`` rounds merge formerly-adjacent blocks so boundary
-    duplicates collapse. After pass one a key occupies at most one row
-    per block, so a single merge round to 1 block per key-range is
-    exact (here 1 block total — at cluster scale use multi-level
-    ranges, e.g. (64, 8, 1), so no round exceeds a worker's heap).
+    Fully vectorized sort-based dedup with NO single-block funnel (an
+    earlier version coalesced to ``repartition(1)``, which made the
+    whole post-dedup schedule tail serial — an Amdahl bottleneck that
+    measurably inverted 8-vs-32-CPU scaling on a 443k-URL corpus):
+
+      1. global range-sort on (url_key, discovery order) makes each
+         key's rows contiguous; per-block ``drop_duplicates(keep=
+         "first")`` keeps the min-order row per key per block;
+      2. after the drop, a key can only straddle ADJACENT blocks, and
+         its later-block rows are those blocks' FIRST rows (the sort
+         puts a straddling key at block edges). Each block contributes
+         its first+last rows' keys — 2 metadata rows per block, read on
+         the driver in block order;
+      3. the driver walks the edges: a block whose first key equals the
+         previous non-empty block's last key flags that one row; the
+         tiny drop-set is broadcast and pass B filters at most one
+         leading row per block. Exact for chains spanning any number of
+         blocks (each later block's first row is flagged in turn).
+
+    Every pass is per-block parallel; driver state is O(blocks).
     """
-    ds = ds.sort(["url_key", "host_rank", "stack_rank", "pos"])
-    ds = ds.map_batches(_drop_dup_urls, batch_format="pandas", batch_size=None)
-    for n in coalesce:
-        ds = ds.repartition(n).map_batches(
-            _drop_dup_urls, batch_format="pandas", batch_size=None
-        )
-    return ds
+    key_cols = ["url_key", "host_rank", "stack_rank", "pos"]
+    sorted_ds = ds.sort(key_cols).materialize()
+    try:
+        multi = sorted_ds.num_blocks() > 1
+    except Exception:  # pragma: no cover
+        multi = True
+
+    drop: set = set()
+    if multi:
+        # Edge metadata comes from the SORTED, pre-drop blocks: a
+        # block's first row is its min-order row for its first key, so
+        # it survives the in-block drop unchanged, and the last row's
+        # KEY is the same pre/post drop — one metadata pass, then drop
+        # and boundary-drop fuse into a single map.
+        def edges(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df.iloc[0:0][key_cols]
+            return df.iloc[[0, -1]][key_cols]
+
+        meta = sorted_ds.map_batches(
+            edges, batch_format="pandas", batch_size=None
+        ).to_pandas()  # 2 rows per non-empty block, in block order
+
+        prev_last = None
+        for i in range(0, len(meta), 2):
+            first, last = meta.iloc[i], meta.iloc[i + 1]
+            if prev_last is not None and first["url_key"] == prev_last:
+                drop.add((first["url_key"], int(first["host_rank"]),
+                          int(first["stack_rank"]), int(first["pos"])))
+            prev_last = last["url_key"]
+    drop_ref = ray.put(drop)
+
+    def drop_dups_and_boundary(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["url_key"], keep="first")
+        d = ray.get(drop_ref)
+        # Only a block's first row can be a boundary duplicate.
+        if d and len(df):
+            r = df.iloc[0]
+            if (r["url_key"], int(r["host_rank"]), int(r["stack_rank"]),
+                    int(r["pos"])) in d:
+                df = df.iloc[1:]
+        return df
+
+    return sorted_ds.map_batches(
+        drop_dups_and_boundary, batch_format="pandas", batch_size=None
+    )
 
 
-def politeness_ticks_sorted(ds, budget_per_host: int | None = None,
-                            single_block: bool = False):
+def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
     """Vectorized politeness schedule: each host's i-th URL (in
     discovery order) gets tick ``i * crawl_delay_s``; ``budget_per_host``
     truncates each host's queue (the north rule's politeness budget).
@@ -119,21 +167,9 @@ def politeness_ticks_sorted(ds, budget_per_host: int | None = None,
       pass B: per-block ``groupby.cumcount`` plus the block's broadcast
               offset for each host, then the budget filter and the tick
               arithmetic — all vectorized.
-
-    ``single_block=True`` is the caller's guarantee that ``ds`` is one
-    block (e.g. the dedup stage's trailing ``repartition(1)``): an
-    in-block vectorized sort is then a global sort, skipping the Ray
-    sort's fixed sample/boundary/barrier cost entirely. The multi-block
-    cluster path keeps the real distributed sort.
     """
     order_cols = ["host", "host_rank", "stack_rank", "pos"]
-    if single_block:
-        sorted_ds = ds.map_batches(
-            lambda df: df.sort_values(order_cols, kind="stable"),
-            batch_format="pandas", batch_size=None,
-        ).materialize()
-    else:
-        sorted_ds = ds.sort(order_cols).materialize()
+    sorted_ds = ds.sort(order_cols).materialize()
 
     offsets: dict = {}
     if sorted_ds.num_blocks() > 1:
@@ -185,6 +221,38 @@ def politeness_ticks_sorted(ds, budget_per_host: int | None = None,
         )
 
     return sorted_ds.map_batches(ticks, batch_format="pandas", batch_size=None)
+
+
+def schedule_block_fn(budget_per_host: int | None = None):
+    """Per-partition scheduler: dedup + politeness ticks in ONE
+    vectorized pandas pass over a HOST-COMPLETE block.
+
+    The key insight: a canonical ``url_key`` embeds its host, so
+    hash-partitioning by host also partitions url_keys — both the
+    URL-seen dedup (first occurrence in discovery order wins) and the
+    per-host politeness cumcount are exact within a host-complete
+    partition. One hash shuffle replaces the two global range sorts the
+    previous design paid (plus their sample/boundary barriers and
+    driver-side offset metadata)."""
+    order_cols = ["host", "host_rank", "stack_rank", "pos"]
+
+    def schedule_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(tick=pd.Series(dtype="float64"))
+        df = df.sort_values(["url_key", "host_rank", "stack_rank", "pos"],
+                            kind="stable")
+        df = df.drop_duplicates(subset=["url_key"], keep="first")
+        df = df.sort_values(order_cols, kind="stable")
+        idx = df.groupby("host", sort=False).cumcount().to_numpy()
+        if budget_per_host is not None:
+            keep = idx < budget_per_host
+            df = df[keep]
+            idx = idx[keep]
+        return df.assign(
+            tick=idx.astype("float64") * df["crawl_delay_s"].to_numpy()
+        )
+
+    return schedule_block
 
 
 def hosts_from_seed_urls(seed_urls: list[str], par: int = 4) -> list[str]:
@@ -309,7 +377,11 @@ def crawl(
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
             batch_size=4,
-            concurrency=(1, max(2, par // 3)),
+            # Fixed-size pool: ramping from min=1 left a measured ~3.5 s
+            # floor at 32 CPUs (actors start serially while the first
+            # hosts expand); min==max sized below par so downstream
+            # tasks never starve.
+            concurrency=(max(1, min(par // 3, par - 2)), max(2, par // 3)),
             num_cpus=1,
         )
         parsed = leaves.repartition(par * 2).map_batches(
@@ -352,16 +424,31 @@ def crawl(
             )
         else:
             gated = parsed
-        # dedup's trailing repartition(1) statically guarantees one
-        # block, so the politeness sort runs in-block (no second Ray
-        # sort barrier). At cluster scale pass multi-level coalesce
-        # ranges here and drop single_block.
-        dedup_coalesce: tuple[int, ...] = (1,)
-        deduped = dedup_first_sorted(gated, coalesce=dedup_coalesce)
-        scheduled = politeness_ticks_sorted(
-            deduped, budget_per_host,
-            single_block=dedup_coalesce[-1] == 1,
-        )
+        # ---- dedup + politeness in one host-hash shuffle ----
+        # Hash-co-locate every entry with its host (the tiny robots dim
+        # is the join partner); a url_key embeds its host, so the
+        # resulting host-complete partitions make BOTH the URL-seen
+        # dedup and the politeness cumcount exact per block — one
+        # shuffle, no global range sorts, no driver offset metadata.
+        host_dim = robots_ds.select_columns(["host"])
+        nparts = max(2, min(par, 16))  # cluster scale: size by data so
+        # a partition (one host-group of schedule metadata) fits a
+        # worker's heap; the guard below catches any violation.
+        joined = gated.join(
+            host_dim, join_type="inner", num_partitions=nparts,
+            on=("host",), right_on=("host",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        ).materialize()
+        if joined.num_blocks() == nparts:
+            scheduled = joined.map_batches(
+                schedule_block_fn(budget_per_host),
+                batch_format="pandas", batch_size=None,
+            )
+        else:  # pragma: no cover - aggregator emitted split blocks
+            # (not observed on Ray 2.49 even under a 1 MB block cap);
+            # fall back to the sort-based exact path.
+            deduped = dedup_first_sorted(joined)
+            scheduled = politeness_ticks_sorted(deduped, budget_per_host)
 
         def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
             # Fetch-resume bucket assigned here (vectorized over the

@@ -119,13 +119,7 @@ def crawl_round(
     #      delay) — all vectorized.
     seen, polite = state.seen, state.polite
     order_cols = ["host", "host_rank", "stack_rank", "pos"]
-    # dedup_first_sorted's trailing repartition(1) guarantees one block:
-    # an in-block vectorized sort IS the global sort (no Ray sort
-    # barrier). Multi-block cluster rounds would use ds.sort here.
-    ordered = deduped.map_batches(
-        lambda df: df.sort_values(order_cols, kind="stable"),
-        batch_format="pandas", batch_size=None,
-    ).materialize()
+    ordered = deduped.sort(order_cols).materialize()
 
     def seen_filter(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

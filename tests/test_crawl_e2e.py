@@ -110,10 +110,12 @@ def test_resume_is_byte_identical(ray_session, tmp_path, oracle):
         assert da[col].equals(db[col]), f"column {col} differs after resume"
 
 
-def test_dedup_multirange_coalesce_equivalent(ray_session):
-    """The cluster-scale multi-level coalesce (e.g. (4, 1) ranges) must
-    produce exactly the single-round result — pinned on a duplicate-
-    heavy frame whose keys span many blocks."""
+def test_dedup_boundary_metadata_exact(ray_session):
+    """The funnel-free dedup (per-block drop + block-edge metadata +
+    broadcast boundary drop-set) must equal the single-process answer on
+    a duplicate-heavy frame whose keys span many blocks — including
+    keys hot enough to fill several consecutive blocks (the chain
+    case), across several block widths."""
     import pandas as pd
     import ray.data as rd
 
@@ -121,25 +123,24 @@ def test_dedup_multirange_coalesce_equivalent(ray_session):
 
     rng = np.random.default_rng(23)
     n = 4000
+    keys = [f"k{int(v):04d}" for v in rng.integers(0, 700, n)]
+    keys[1000:1600] = ["khot"] * 600  # one key spanning many sorted blocks
     df = pd.DataFrame(
-        {"url_key": [f"k{int(v):04d}" for v in rng.integers(0, 700, n)],
+        {"url_key": keys,
          "host_rank": rng.integers(0, 50, n).astype("int64"),
          "stack_rank": rng.integers(0, 50, n).astype("int32"),
          "pos": np.arange(n, dtype="int32")}
     )
-    outs = []
-    for rounds in ((1,), (4, 1), (8, 4, 1)):
-        ds = rd.from_pandas(df).repartition(16)
-        out = dedup_first_sorted(ds, coalesce=rounds).to_pandas()
-        outs.append(out.sort_values(list(out.columns)).reset_index(drop=True))
-    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
-    # Matches the single-process answer.
     want = (
         df.sort_values(["url_key", "host_rank", "stack_rank", "pos"])
         .drop_duplicates("url_key", keep="first")
         .sort_values(list(df.columns)).reset_index(drop=True)
     )
-    assert outs[0][want.columns.tolist()].equals(want)
+    for nblocks in (1, 16, 64):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = dedup_first_sorted(ds).to_pandas()
+        out = out.sort_values(list(out.columns)).reset_index(drop=True)
+        assert out[want.columns.tolist()].equals(want), nblocks
 
 
 def test_politeness_two_pass_multiblock(ray_session):
