@@ -245,6 +245,15 @@ def try_parse(raw: str) -> Url | None:
         return None
 
 
+def canonical_from_parsed(u: "Url") -> str:
+    """Canonical URL-seen key for an ALREADY-PARSED URL — the fast path
+    for stages that hold ``Url`` objects (the sitemap parser emits
+    them), skipping a redundant serialize→re-parse round trip.
+    ``Url.parse`` is idempotent on its own serialization (pinned by
+    tests), so this equals ``canonical_url(str(u))`` exactly."""
+    return str(u if u.fragment is None else replace(u, fragment=None))
+
+
 def canonical_url(raw: str) -> str | None:
     """Canonical key for the URL-seen set: parsed/serialized URL with the
     fragment dropped (fragments do not identify distinct fetchable
@@ -252,4 +261,4 @@ def canonical_url(raw: str) -> str | None:
     u = try_parse(raw)
     if u is None:
         return None
-    return str(replace(u, fragment=None))
+    return canonical_from_parsed(u)

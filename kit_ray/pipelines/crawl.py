@@ -223,6 +223,32 @@ def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
     return sorted_ds.map_batches(ticks, batch_format="pandas", batch_size=None)
 
 
+def hash_partition_by_host(ds, nparts: int):
+    """Hash-partition ``ds`` into ``nparts`` host-complete blocks via
+    Ray's keyed repartition (requires the HASH_SHUFFLE strategy, flipped
+    only around this materialize and restored after). Cheaper than an
+    inner self-join against the host dim (~0.8 s less fixed aggregator
+    cost, no dim side shuffled) and semantically identical here: every
+    post-gate row's host exists in robots_cache. Aggregators get 0 CPUs
+    for the same reason as the join's override — they route/buffer, and
+    any reservation stacks on actor-pool minimums and can starve the
+    stage's tasks outright at small CPU counts."""
+    from ray.data.context import ShuffleStrategy
+
+    # A Dataset snapshots its DataContext at creation — flip the
+    # SNAPSHOT the plan actually carries, not the process-global one.
+    ctx = ds.context
+    prev_strategy = ctx.shuffle_strategy
+    prev_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0
+    try:
+        return ds.repartition(nparts, keys=["host"]).materialize()
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_cpus
+
+
 def schedule_block_fn(budget_per_host: int | None = None):
     """Per-partition scheduler: dedup + politeness ticks in ONE
     vectorized pandas pass over a HOST-COMPLETE block.
@@ -334,6 +360,7 @@ def crawl(
                     "policy_json"], started=t0,
         )
     summary["robots_rows"] = pq_count(robots_dir)
+    summary["robots_sec"] = round(time.time() - t0, 2)
 
     if policy_mode == "auto":
         policy_mode = (
@@ -398,17 +425,28 @@ def crawl(
             concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
             num_cpus=1,
         )
+        # ---- dedup + politeness in one host-hash shuffle ----
+        # Hash-co-locate every entry with its host; a url_key embeds
+        # its host, so host-complete partitions make BOTH the URL-seen
+        # dedup and the politeness cumcount exact per block — one
+        # shuffle, no global range sorts, no driver offset metadata.
+        nparts = max(2, min(par, 16))  # cluster scale: size by data so
+        # a partition (one host-group of schedule metadata) fits a
+        # worker's heap; the guard below catches any violation.
         if policy_mode == "partitioned":
             # Hash-co-locate entries with their host's policy row: the
             # join partitions BOTH sides by hash(host), so each output
             # batch carries exactly the policies it needs — no broadcast
-            # of the full cache anywhere (≫10^6-host mode).
+            # of the full cache anywhere (≫10^6-host mode). The gate map
+            # runs one task per joined block, so its output KEEPS the
+            # join's host-complete partitioning — the schedule below
+            # reuses it with no second shuffle.
             from ..stages.crawl_stages import CoPartitionedGate
 
             pol_side = robots_ds.select_columns(["host", "policy_json"])
-            gated = parsed.join(
+            joined = parsed.join(
                 pol_side, join_type="inner",
-                num_partitions=max(2, min(par, 8)),
+                num_partitions=nparts,
                 on=("host",), right_on=("host",),
                 # Aggregator actors route/buffer (memory-bound, not
                 # CPU-bound); any CPU reservation for them stacks on the
@@ -419,26 +457,14 @@ def crawl(
             ).map_batches(
                 CoPartitionedGate,
                 batch_format="pyarrow",
+                batch_size=None,
                 concurrency=(1, max(2, par // 2)),
                 num_cpus=1,
-            )
+            ).materialize()
         else:
-            gated = parsed
-        # ---- dedup + politeness in one host-hash shuffle ----
-        # Hash-co-locate every entry with its host (the tiny robots dim
-        # is the join partner); a url_key embeds its host, so the
-        # resulting host-complete partitions make BOTH the URL-seen
-        # dedup and the politeness cumcount exact per block — one
-        # shuffle, no global range sorts, no driver offset metadata.
-        host_dim = robots_ds.select_columns(["host"])
-        nparts = max(2, min(par, 16))  # cluster scale: size by data so
-        # a partition (one host-group of schedule metadata) fits a
-        # worker's heap; the guard below catches any violation.
-        joined = gated.join(
-            host_dim, join_type="inner", num_partitions=nparts,
-            on=("host",), right_on=("host",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        ).materialize()
+            # Broadcast mode gated inside the parse pool; one keyed
+            # repartition co-locates hosts for the schedule.
+            joined = hash_partition_by_host(parsed, nparts)
         if joined.num_blocks() == nparts:
             scheduled = joined.map_batches(
                 schedule_block_fn(budget_per_host),
@@ -472,6 +498,7 @@ def crawl(
             started=t0,
         )
     summary["scheduled_rows"] = pq_count(order_dir)
+    summary["schedule_sec"] = round(time.time() - t0, 2)
 
     # ---- stage 3: page fetch -> image table, bucket-resumable -----------
     images_dir = os.path.join(out_dir, "images")
@@ -554,6 +581,7 @@ def crawl(
                                      "caption", "phash", "payload_bytes", "url")],
                 started=t0, extra={"bucket": b, "payload_bytes": bytes_out},
             )
+        summary["fetch_sec"] = round(time.time() - t0, 2)
     summary["fetched_buckets"] = sorted(
         b for b in rows_per_bucket
         if storage.valid_checkpoint(os.path.join(images_dir, f"bucket={b}"), digest)

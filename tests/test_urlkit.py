@@ -63,3 +63,36 @@ def test_canonical_url_drops_fragment():
 def test_host_port_key():
     assert Url.parse("https://e.com:8443/x").host_port() == "e.com:8443"
     assert Url.parse("https://e.com/x").host_port() == "e.com"
+
+
+def test_canonical_from_parsed_equals_string_path():
+    """The fused-gate fast path (canonical_from_parsed on an already-
+    parsed Url) must agree with canonical_url on the serialized string —
+    i.e. Url.parse is idempotent on its own serialization, including
+    ports, userinfo, queries, encoded paths, and fragments."""
+    from hypothesis import given, settings, strategies as st
+
+    from kit_ray.kernels.urlkit import canonical_from_parsed, try_parse
+
+    cases = [
+        "https://e.com/a#frag",
+        "https://E.com:8443/p/x?q=1&r=%20#z",
+        "http://user:pw@host.example/path%2Fesc?a=b",
+        "https://host.example",
+        "https://host.example/%C3%A9/é?x=#",
+        "https://h.example/a//b/../c/./d",
+    ]
+    for raw in cases:
+        u = try_parse(raw)
+        assert u is not None, raw
+        assert canonical_from_parsed(u) == canonical_url(str(u)), raw
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=500),
+                   max_size=40))
+    def prop(path):
+        u = try_parse("https://h.example/" + path)
+        if u is not None:
+            assert canonical_from_parsed(u) == canonical_url(str(u))
+
+    prop()
