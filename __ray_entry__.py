@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh_pairs": Q.minhash_lsh_pairs,
+        "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "simhash": Q.simhashes,
         "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
@@ -365,6 +366,33 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "minhash_lsh_pairs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                   generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM toks),
+            p AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                            WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                            ELSE len(list_intersect(a.s, b.s)) * 1.0
+                                 / len(list_distinct(list_concat(a.s, b.s)))
+                       END AS j
+                FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+            SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+            FROM p WHERE j >= 0.8
+        """,
+        # Exact all-pairs n-gram Jaccard — the same SQL is exact for
+        # BOTH the LSH-bucketed pipeline (whose candidate recall it
+        # therefore also witnesses) and the chunk-pair exact pipeline.
+        "ngram_jaccard_pairs": """
             WITH toks AS (
                 SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
                 FROM documents),

@@ -493,6 +493,63 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.5,
         shutil.rmtree(chunk_dir, ignore_errors=True)
 
 
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
+                        chunk_rows: int = 512):
+    """EXACT n-gram Jaccard near-dup pairs over the documents table
+    (doc_id_a < doc_id_b, jaccard >= threshold) — the same distributed
+    block-pair cross product as ``embedding_neardup``:
+
+      1. the table is chunked once to parquet (chunk = doc_id mod C, C
+         sized so a chunk's shingle sets fit a worker's heap);
+      2. one task per chunk PAIR (i <= j) loads exactly two chunks,
+         shingles each once (cached per actor), and emits its
+         thresholded pairs — C(C+1)/2 bounded-memory tasks, no
+         ``take_all()``, no broadcast of the corpus.
+
+    O(N^2) compute is inherent to the exact threshold join; this is the
+    exact-oracle baseline whose subquadratic scale path is
+    ``minhash_lsh_pairs`` (identical similarity, LSH-bucketed)."""
+    import shutil
+    import tempfile
+
+    from ..sources.storage import shared_scratch_dir
+    from ..stages.data_stages import CrossChunkJaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = _table_rows(sf_dir, "documents")  # parquet footers, no pass
+    n_chunks = max(1, (n + chunk_rows - 1) // chunk_rows)
+
+    chunk_dir = tempfile.mkdtemp(
+        prefix="run_", dir=shared_scratch_dir("jaccard_chunks")
+    )
+
+    def add_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["chunk"] = (df["doc_id"] % n_chunks).astype("int32")
+        return df
+
+    try:
+        docs.map_batches(add_chunk, batch_format="pandas").write_parquet(
+            chunk_dir, partition_cols=["chunk"]
+        )
+        tasks = rd.from_items(
+            [{"ci": i, "cj": j}
+             for i in range(n_chunks) for j in range(i, n_chunks)]
+        )
+        n_tasks = n_chunks * (n_chunks + 1) // 2
+        tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
+        return tasks.map_batches(
+            CrossChunkJaccard,
+            fn_constructor_kwargs={"chunk_dir": chunk_dir,
+                                   "threshold": threshold, "k": k},
+            batch_format="pandas",
+            batch_size=1,
+            concurrency=(1, 8),
+        ).materialize()
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
 def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
                           n_cells: int = 16, n_assign: int = 4,
                           sample_rows: int = 2000):

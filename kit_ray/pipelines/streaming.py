@@ -26,7 +26,7 @@ from ..stages.crawl_stages import HostTraverse, RobotsFetchParse
 from ..stages.politeness import PolitenessPool
 from ..state.seen import SeenSet
 from ..synth import CorpusConfig
-from .crawl import dedup_first_sorted
+from .crawl import dedup_first_sorted, hash_partition_by_host
 
 
 class FrontierState:
@@ -101,22 +101,71 @@ def crawl_round(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
-    deduped = dedup_first_sorted(gated)
 
-    # Cross-round anti-join + ticks, in the batch pipeline's sort-based
-    # shapes (no per-host map_groups, no per-group RPCs):
+    # In-round dedup + cross-round anti-join + ticks in ONE host-hash
+    # shuffle — the batch pipeline's schedule shape. A url_key embeds
+    # its host, so a host-complete block computes all three exactly:
     #
-    #   1. host-sort + materialize pins block boundaries;
-    #   2. seen filter: one BATCHED offer RPC per block (in-round dupes
-    #      are already gone, so concurrent offers of distinct URLs
-    #      commute; cross-round membership was fixed before the round —
-    #      deterministic). Materialized so the offer runs exactly once;
-    #   3. per-(block, host) survivor counts -> a tiny driver metadata
-    #      frame; ONE reserve() RPC per authority shard atomically
-    #      advances each host's cross-round counter and returns
-    #      (base, delay);
-    #   4. tick pass: block-local cumcount + broadcast (offset, base,
-    #      delay) — all vectorized.
+    #   1. in-block sort on (url_key, order) + drop_duplicates = the
+    #      in-round URL-seen dedup;
+    #   2. one BATCHED offer RPC per block filters cross-round dupes
+    #      (in-round dupes are already gone, so concurrent offers of
+    #      distinct URLs commute; cross-round membership was fixed
+    #      before the round — deterministic);
+    #   3. ONE reserve() RPC per block atomically advances its hosts'
+    #      cross-round counters (a host lives in exactly one block, so
+    #      per-host reservation happens once; blocks reserve disjoint
+    #      host sets — order-free). Ticks are then a block-local
+    #      cumcount, no driver metadata, no range sort.
+    #
+    #   The stage materializes immediately: offer/reserve are
+    #   at-least-once under task retry, exactly as the previous
+    #   offer-then-materialize shape; checkpoint/restore owns
+    #   crash-resume determinism.
+    seen, polite = state.seen, state.polite
+    order_cols = ["host", "host_rank", "stack_rank", "pos"]
+    nparts = max(2, min(concurrency, 16))
+    joined = hash_partition_by_host(gated, nparts)
+
+    if joined.num_blocks() == nparts:
+        def round_block(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df.assign(tick=pd.Series(dtype="float64"))
+            df = df.sort_values(
+                ["url_key", "host_rank", "stack_rank", "pos"], kind="stable"
+            )
+            df = df.drop_duplicates(subset=["url_key"], keep="first")
+            df = df.sort_values(order_cols, kind="stable")
+            new = seen.offer(list(df["url_key"]))
+            df = df[pd.Series(new, index=df.index)]
+            if not len(df):
+                return df.assign(tick=pd.Series(dtype="float64"))
+            idx = df.groupby("host", sort=False).cumcount().to_numpy()
+            counts = df["host"].value_counts()
+            bases = polite.reserve({h: int(n) for h, n in counts.items()})
+            base = df["host"].map({h: b for h, (b, _) in bases.items()}).to_numpy()
+            delay = df["host"].map({h: d for h, (_, d) in bases.items()}).to_numpy()
+            return df.assign(tick=(base + idx).astype("float64") * delay)
+
+        scheduled = joined.map_batches(
+            round_block, batch_format="pandas", batch_size=None
+        ).materialize()
+    else:  # pragma: no cover - split partition blocks (never observed)
+        scheduled = _round_schedule_sorted(
+            dedup_first_sorted(joined), state
+        )
+
+    out = scheduled.sort(["tick", "host_rank", "stack_rank", "pos"]).materialize()
+    return _finish_round(out, state, out_dir)
+
+
+def _round_schedule_sorted(deduped, state: FrontierState):
+    """Sort-based fallback round schedule (exact for any partitioning):
+    host-sort pins block boundaries, a batched seen offer per block, a
+    tiny per-(block, host) driver metadata frame for cross-block
+    offsets, ONE reserve() per authority shard, then a vectorized tick
+    pass. Kept for the (unobserved) case where the hash shuffle splits
+    a partition across blocks."""
     seen, polite = state.seen, state.polite
     order_cols = ["host", "host_rank", "stack_rank", "pos"]
     ordered = deduped.sort(order_cols).materialize()
@@ -142,11 +191,10 @@ def crawl_round(
         block_counts, batch_format="pandas", batch_size=None
     ).to_pandas()  # per-(block, host) metadata only
     if not len(meta):
-        empty = survivors.map_batches(
+        return survivors.map_batches(
             lambda df: df.assign(tick=pd.Series(dtype="float64")),
             batch_format="pandas", batch_size=None,
         ).materialize()
-        return _finish_round(empty, state, out_dir)
     meta = meta.sort_values(
         ["host", "first_hr", "first_sr", "first_pos"], kind="stable"
     )
@@ -181,10 +229,9 @@ def crawl_round(
         delay = df["host"].map({h: d for h, (_, d) in base_map.items()}).to_numpy()
         return df.assign(tick=(base + idx).astype("float64") * delay)
 
-    out = survivors.map_batches(
+    return survivors.map_batches(
         ticks, batch_format="pandas", batch_size=None
-    ).sort(["tick", "host_rank", "stack_rank", "pos"]).materialize()
-    return _finish_round(out, state, out_dir)
+    )
 
 
 def fetch_round(round_ds, cfg: CorpusConfig, out_dir: str,

@@ -181,7 +181,15 @@ class HostTraverse:
         self.gate = RobotsGate(policies_ref) if policies_ref is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.urlkit import canonical_from_parsed
+
+        gate = self.gate
         rows = {name: [] for name in ENTRY_SCHEMA.names}
+        if gate is not None:
+            # Same fusion as SitemapParse: verdict + canonical key on the
+            # already-parsed Url, no serialize->re-parse round trip.
+            rows["url_key"] = []
+            rows["crawl_delay_s"] = []
         fetcher = lambda u: self.cfg.fetch(str(u))
         for host, rank, sitemaps in zip(
             batch["host"].to_pylist(),
@@ -192,8 +200,16 @@ class HostTraverse:
             urls = [u for u in urls if u is not None]
             for t in traverse_host(urls, fetcher):
                 e = t.entry
+                uhost = e.location.host_port()
+                if gate is not None:
+                    pol = gate._policy(uhost)
+                    if pol is None or not pol.is_absolute_allowed(e.location):
+                        continue  # unfetchable host / disallowed path
+                    d = pol.crawl_delay()
+                    rows["url_key"].append(canonical_from_parsed(e.location))
+                    rows["crawl_delay_s"].append(float(d) if d else 0.0)
                 rows["url"].append(str(e.location))
-                rows["host"].append(e.location.host_port())
+                rows["host"].append(uhost)
                 rows["host_rank"].append(rank)
                 rows["stack_rank"].append(t.stack_rank)
                 rows["pos"].append(t.pos)
@@ -201,10 +217,14 @@ class HostTraverse:
                 rows["changefreq"].append(e.frequency)
                 rows["priority"].append(e.priority)
                 rows["source_sitemap"].append(t.source_sitemap)
-        out = pa.table(rows, schema=ENTRY_SCHEMA)
-        if self.gate is not None:
-            out = self.gate(out)
-        return out
+        schema = ENTRY_SCHEMA
+        if gate is not None:
+            schema = pa.schema(
+                list(ENTRY_SCHEMA)
+                + [pa.field("url_key", pa.string()),
+                   pa.field("crawl_delay_s", pa.float64())]
+            )
+        return pa.table(rows, schema=schema)
 
 
 LEAF_SCHEMA = pa.schema(

@@ -180,6 +180,68 @@ class CrossChunkScore:
         )
 
 
+class CrossChunkJaccard:
+    """One task per chunk pair (ci <= cj) of the hash-chunked documents
+    table: load exactly two chunk files, shingle each chunk ONCE
+    (hashed k-word shingles, cached per actor — an actor usually draws
+    several pairs sharing a chunk), emit all pairs with exact n-gram
+    Jaccard >= threshold as (doc_id_a < doc_id_b). The exact-oracle
+    text-near-dup baseline; MinHash+LSH (dataops.minhash_lsh_pairs) is
+    the subquadratic scale path over the same similarity."""
+
+    def __init__(self, chunk_dir: str, threshold: float, k: int = 3,
+                 cache_max: int = 4):
+        import os
+
+        from ..functions.dedup import word_shingles
+
+        self.dir = chunk_dir
+        self.t = threshold
+        self.k = k
+        self.cache: dict[int, tuple[list, list]] = {}
+        self.cache_max = cache_max
+        self.shingles = word_shingles
+        self.join = os.path.join
+
+    def _load(self, c: int) -> tuple[list, list]:
+        got = self.cache.get(c)
+        if got is None:
+            import pyarrow.dataset as pads
+
+            if len(self.cache) >= self.cache_max:
+                self.cache.pop(next(iter(self.cache)))
+            t = pads.dataset(
+                self.join(self.dir, f"chunk={c}"), format="parquet"
+            ).to_table()
+            ids = t["doc_id"].to_pylist()
+            sets = [self.shingles(x, self.k) for x in t["text"].to_pylist()]
+            got = self.cache[c] = (ids, sets)
+        return got
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.dedup import jaccard
+
+        rows = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
+        for ci, cj in zip(df["ci"], df["cj"]):
+            ia, sa = self._load(int(ci))
+            ib, sb = self._load(int(cj))
+            same = int(ci) == int(cj)
+            for x in range(len(ia)):
+                s1 = sa[x]
+                for y in range(x + 1, len(ib)) if same else range(len(ib)):
+                    j = jaccard(s1, sb[y])
+                    if j >= self.t:
+                        a, b = int(ia[x]), int(ib[y])
+                        if a > b:
+                            a, b = b, a
+                        rows["doc_id_a"].append(a)
+                        rows["doc_id_b"].append(b)
+                        rows["jaccard"].append(round(j, 6))
+        return pd.DataFrame(rows).astype(
+            {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard": "float64"}
+        )
+
+
 class IvfTopK:
     """IVF partial top-k: centroids, queries and per-query probe cells
     broadcast once per actor; each candidate batch is cell-assigned with
