@@ -209,6 +209,10 @@ def run_scaling() -> dict:
             (lo["extras"]["stage_sec"]["images"]
              / hi["extras"]["stage_sec"]["images"]) / 4, 3)
         if lo["extras"].get("stage_sec") else None,
+        "schedule_stage_efficiency": round(
+            (lo["extras"]["stage_sec"]["crawl_order"]
+             / hi["extras"]["stage_sec"]["crawl_order"]) / 4, 3)
+        if lo["extras"].get("stage_sec") else None,
     }
 
 
