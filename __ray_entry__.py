@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_sliding": Q.events_sliding,
         "user_sessions": Q.user_sessions,
+        "asof_purchase_attribution": Q.asof_purchase_attribution,
+        "user_running_value": Q.user_running_value,
+        "q3_top_unshipped": Q.q3_top_unshipped,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -522,6 +525,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts, event_id) = 1
+        """,
+        "asof_purchase_attribution": """
+            SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                   p.ts AS purchase_ts, v.event_id AS view_id,
+                   round(epoch(p.ts - v.ts), 3) AS lag_s
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "user_running_value": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 6)
+                       AS cum_value
+            FROM events
+        """,
+        "q3_top_unshipped": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                     l_orderkey
+            LIMIT 10
         """,
         "ann_topk": """
             WITH q AS (

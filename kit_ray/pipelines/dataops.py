@@ -1112,3 +1112,168 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
         ),
         batch_format="pandas",
     )
+
+
+def hash_partition(ds, keys, nparts: int):
+    """Key-complete blocks via Ray's keyed hash repartition — the
+    generic form of crawl.hash_partition_by_host: flip the dataset
+    snapshot's shuffle strategy to HASH_SHUFFLE around the one op (a
+    Dataset snapshots its DataContext at creation) and zero out the
+    per-partition aggregator CPU reservation (the aggregators only
+    route/buffer; any reservation stacks on actor-pool minimums and
+    can starve the stage's tasks at small CPU counts). After this,
+    every row with the same ``keys`` value lives in exactly one block,
+    so per-key logic (as-of merge, running windows, final per-key
+    sums) is exact in-block with no further shuffle."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
+    prev_strategy = ctx.shuffle_strategy
+    prev_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0
+    try:
+        return ds.repartition(nparts, keys=list(keys)).materialize()
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_cpus
+
+
+def asof_purchase_attribution(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): each purchase
+    event is attributed to the same user's most recent view event at or
+    before the purchase timestamp (inner as-of, backward direction —
+    the DuckDB ``ASOF JOIN`` semantics exactly).
+
+    Scale shape: ONE keyed hash repartition on ``user_id`` makes every
+    block user-complete; the merge itself is then an in-block
+    vectorized ``pd.merge_asof`` (sorted on ts, grouped by user) with
+    no cross-block state. At 10^10 events this is a single all-to-all
+    keyed by user — the minimum any exact as-of join pays — and the
+    per-block work is O(n log n) in the block, memory-bounded by the
+    partition count."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"], split=True)
+    ev = ev.filter(
+        expr="event_type == 'purchase' or event_type == 'view'"
+    )
+    ev = hash_partition(ev, ["user_id"], _join_parts())
+
+    out_cols = {"purchase_id": "int64", "user_id": "int64",
+                "purchase_ts": "datetime64[us]", "view_id": "int64",
+                "lag_s": "float64"}
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        v = df[df["event_type"] == "view"]
+        if p.empty or v.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()}
+            )
+        p = p.sort_values("ts", kind="stable")[
+            ["event_id", "user_id", "ts"]]
+        v = v.sort_values("ts", kind="stable")[
+            ["event_id", "user_id", "ts"]].assign(view_ts=lambda d: d["ts"])
+        m = pd.merge_asof(p, v, on="ts", by="user_id",
+                          direction="backward", suffixes=("", "_v"))
+        m = m.dropna(subset=["event_id_v"])
+        return pd.DataFrame({
+            "purchase_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "purchase_ts": m["ts"],
+            "view_id": m["event_id_v"].astype("int64"),
+            "lag_s": ((m["ts"] - m["view_ts"]).dt.total_seconds()).round(3),
+        })
+
+    return ev.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def user_running_value(sf_dir: str):
+    """Windowed aggregate: per-user running (cumulative) sum of
+    ``value`` in (ts, event_id) order — SQL's
+    ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+
+    Same scale shape as the as-of join: one keyed hash repartition on
+    ``user_id`` -> user-complete blocks -> in-block vectorized sort +
+    grouped ``cumsum``. Output is one row per input event (10^10-row
+    output at the design point), streamed block-by-block — nothing
+    materializes beyond the keyed shuffle itself."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+               split=True)
+    ev = hash_partition(ev, ["user_id"], _join_parts())
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cum = df.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "cum_value": cum.round(6),
+        })
+
+    return ev.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def q3_top_unshipped(sf_dir: str, segment: str = "BUILDING",
+                     cutoff: str = "1998-01-01", n: int = 10):
+    """TPC-H Q3 shape: the classic 3-table analytical join
+    (customer ⋈ orders ⋈ lineitem) with per-order revenue and top-N.
+
+    Scale shape: two distributed hash joins (customer⋈orders on
+    custkey, then ⋈lineitem on orderkey — both large-x-large at the
+    design point, so no broadcast), per-block partial revenue sums,
+    then ONE keyed hash repartition of the small per-(order, block)
+    partial table so each block holds a disjoint set of complete
+    orderkeys -> in-block final sums + per-block top-N -> tiny
+    (N x nparts)-row merge. The full join output is never re-shuffled;
+    only the partial-sum table (|qualifying orders| rows) moves."""
+    cut = pa.scalar(pd.Timestamp(cutoff).to_pydatetime())
+    # Row filters passed to the parquet read prune whole row groups
+    # before their bytes leave storage (statistics-based), not after.
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == segment,
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cut,
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cut,
+    )
+    parts = _join_parts()
+    qualified = orders.join(
+        cust, join_type="inner", num_partitions=parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    joined = li.join(
+        qualified, join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False)["rev"].sum()
+        return g.rename("revenue").reset_index()
+
+    part_sums = joined.map_batches(partial, batch_format="pandas")
+    part_sums = hash_partition(part_sums, ["l_orderkey"], parts)
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False)[
+            "revenue"].sum().reset_index()
+        g = g.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True], kind="stable")
+        return g.head(n)
+
+    out = part_sums.map_batches(
+        block_top, batch_format="pandas", batch_size=None
+    ).repartition(1).map_batches(
+        block_top, batch_format="pandas", batch_size=None
+    ).to_pandas()  # <= n rows
+    out["revenue"] = out["revenue"].round(2)
+    return out.reset_index(drop=True)

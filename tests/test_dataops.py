@@ -406,3 +406,110 @@ class TestPhashCopyPairs:
             if b == a + "#re"
         }
         assert lossless <= self_pairs
+
+
+class TestAsofAndWindows:
+    """As-of join / running-window ops: keyed-hash-partition block
+    completeness plus semantics vs a single-frame pandas reference."""
+
+    def _events(self):
+        rng = np.random.default_rng(7)
+        n = 400
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 10**6, n)), unit="s"
+        )
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "user_id": rng.integers(0, 13, n).astype("int64"),
+            "event_type": rng.choice(
+                ["purchase", "view", "click"], n, p=[0.3, 0.4, 0.3]
+            ),
+            "value": rng.uniform(0.1, 50, n).round(2),
+        })
+
+    def test_hash_partition_blocks_are_key_complete(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from kit_ray.pipelines.dataops import hash_partition
+
+        df = self._events()
+        ds = rd.from_pandas(df).repartition(7)
+        parts = hash_partition(ds, ["user_id"], 4)
+        seen = {}
+        for i, ref in enumerate(parts.to_pandas_refs()):
+            import ray as _r
+
+            for u in _r.get(ref)["user_id"].unique():
+                assert u not in seen, f"user {u} split across blocks"
+                seen[u] = i
+        assert set(seen) == set(df["user_id"].unique())
+
+    def test_asof_matches_single_frame_merge(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from kit_ray.pipelines.dataops import asof_purchase_attribution
+
+        df = self._events()
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.assign(props="").to_parquet(sf / "events.parquet")
+
+        got = asof_purchase_attribution(str(sf)).to_pandas()
+        got = got.sort_values("purchase_id").reset_index(drop=True)
+
+        p = df[df.event_type == "purchase"].sort_values("ts", kind="stable")
+        v = df[df.event_type == "view"].sort_values("ts", kind="stable")
+        v = v.assign(view_ts=v["ts"])
+        ref = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            v[["event_id", "user_id", "ts", "view_ts"]],
+            on="ts", by="user_id", direction="backward", suffixes=("", "_v"),
+        ).dropna(subset=["event_id_v"])
+        assert len(got) == len(ref)
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        assert (got["purchase_id"].to_numpy()
+                == ref["event_id"].to_numpy()).all()
+        assert (got["view_id"].to_numpy()
+                == ref["event_id_v"].astype("int64").to_numpy()).all()
+        lag = (ref["ts"] - ref["view_ts"]).dt.total_seconds().round(3)
+        assert np.allclose(got["lag_s"], lag)
+        # every attributed view precedes (or equals) its purchase
+        assert (got["lag_s"] >= 0).all()
+
+    def test_asof_user_with_no_views_dropped(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import asof_purchase_attribution
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 09:00"]
+            ),
+            "user_id": np.array([5, 5, 6], dtype="int64"),
+            "event_type": ["view", "purchase", "purchase"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["", "", ""],
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = asof_purchase_attribution(str(sf)).to_pandas()
+        assert got["purchase_id"].tolist() == [2]  # user 6: no view at all
+        assert got["view_id"].tolist() == [1]
+
+    def test_running_value_matches_cumsum(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import user_running_value
+
+        df = self._events()
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.assign(props="").to_parquet(sf / "events.parquet")
+        got = user_running_value(str(sf)).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+
+        ref = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cum = ref.groupby("user_id", sort=False)["value"].cumsum().round(6)
+        ref = pd.DataFrame({"event_id": ref["event_id"], "cum_value": cum})
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        assert len(got) == len(df)
+        assert np.allclose(got["cum_value"], ref["cum_value"])
