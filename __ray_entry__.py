@@ -272,6 +272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_attribution": Q.asof_purchase_attribution,
         "user_running_value": Q.user_running_value,
         "q3_top_unshipped": Q.q3_top_unshipped,
+        "top_spenders_per_type": Q.top_spenders_per_type,
+        "user_event_gaps": Q.user_event_gaps,
+        "customers_without_urgent_orders": Q.customers_without_urgent_orders,
+        "value_quartiles_by_type": Q.value_quartiles_by_type,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -555,6 +559,46 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
                      l_orderkey
             LIMIT 10
+        """,
+        "top_spenders_per_type": """
+            SELECT event_type, user_id, round(total_value, 6) AS total_value,
+                   rnk
+            FROM (
+                SELECT event_type, user_id, sum(value) AS total_value,
+                       CAST(row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY sum(value) DESC, user_id) AS BIGINT)
+                           AS rnk
+                FROM events GROUP BY event_type, user_id)
+            WHERE rnk <= 3
+        """,
+        "user_event_gaps": """
+            SELECT event_id, user_id, prev_event_id,
+                   round(epoch(ts - prev_ts), 3) AS gap_s
+            FROM (
+                SELECT event_id, user_id, ts,
+                       lag(event_id) OVER w AS prev_event_id,
+                       lag(ts) OVER w AS prev_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE prev_event_id IS NOT NULL
+        """,
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+        """,
+        "value_quartiles_by_type": """
+            SELECT event_type,
+                   round(percentile_cont(0.25) WITHIN GROUP
+                         (ORDER BY value), 6) AS q1,
+                   round(percentile_cont(0.5) WITHIN GROUP
+                         (ORDER BY value), 6) AS median,
+                   round(percentile_cont(0.75) WITHIN GROUP
+                         (ORDER BY value), 6) AS q3
+            FROM events GROUP BY event_type
         """,
         "ann_topk": """
             WITH q AS (

@@ -1277,3 +1277,161 @@ def q3_top_unshipped(sf_dir: str, segment: str = "BUILDING",
     ).to_pandas()  # <= n rows
     out["revenue"] = out["revenue"].round(2)
     return out.reset_index(drop=True)
+
+
+def top_spenders_per_type(sf_dir: str, k: int = 3):
+    """Ranked window over a grouped aggregate: for each event_type the
+    top-k users by total ``value``, with their rank — SQL's
+    ``row_number() OVER (PARTITION BY event_type ORDER BY total DESC)``.
+
+    Scale shape: per-block partial (event_type, user_id) sums shrink
+    the 10^10-row event log to ~|users x types| partial rows BEFORE
+    anything moves; one keyed hash repartition of the partials on the
+    pair key gives exact totals in-block; a second tiny repartition on
+    event_type alone (key cardinality = #types) co-locates each type's
+    totals for the in-block sort + head(k). Only aggregate rows ever
+    shuffle."""
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"],
+               split=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "user_id"], sort=False)["value"].sum()
+        return g.rename("total_value").reset_index()
+
+    partials = ev.map_batches(partial, batch_format="pandas")
+    partials = hash_partition(
+        partials, ["event_type", "user_id"], _join_parts())
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "user_id"], sort=False)[
+            "total_value"].sum().reset_index()
+        return g
+
+    totals = partials.map_batches(
+        finalize, batch_format="pandas", batch_size=None)
+    # #event_type values is tiny; each block holds complete types.
+    totals = hash_partition(totals, ["event_type"], 4)
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "user_id": pd.Series(dtype="int64"),
+                "total_value": pd.Series(dtype="float64"),
+                "rnk": pd.Series(dtype="int64"),
+            })
+        df = df.sort_values(
+            ["event_type", "total_value", "user_id"],
+            ascending=[True, False, True], kind="stable")
+        df["rnk"] = df.groupby("event_type", sort=False).cumcount() + 1
+        df = df[df["rnk"] <= k]
+        df["total_value"] = df["total_value"].round(6)
+        return df.reset_index(drop=True)
+
+    return totals.map_batches(
+        rank_block, batch_format="pandas", batch_size=None)
+
+
+def user_event_gaps(sf_dir: str):
+    """Lead/lag window: for every event (except each user's first),
+    the previous event id of the same user and the gap in seconds —
+    SQL's ``lag(...) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` with the first-row NULLs dropped.
+
+    Scale shape: one keyed hash repartition on ``user_id`` -> in-block
+    sort + vectorized shift per user. Output is one row per event,
+    streamed block-by-block."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"],
+               split=True)
+    ev = hash_partition(ev, ["user_id"], _join_parts())
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)
+        prev_id = g["event_id"].shift(1)
+        prev_ts = g["ts"].shift(1)
+        keep = prev_id.notna()
+        gap = (df["ts"] - prev_ts).dt.total_seconds().round(3)
+        return pd.DataFrame({
+            "event_id": df.loc[keep, "event_id"].astype("int64"),
+            "user_id": df.loc[keep, "user_id"].astype("int64"),
+            "prev_event_id": prev_id[keep].astype("int64"),
+            "gap_s": gap[keep],
+        })
+
+    return ev.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def customers_without_urgent_orders(sf_dir: str,
+                                    priority: str = "1-URGENT"):
+    """Anti-join: customers that never placed an order of the given
+    priority (``NOT EXISTS`` with a pushed-down predicate).
+
+    Scale shape: the orders side is row-filtered at the parquet read
+    (row-group pruning) and collapses to per-block DISTINCT custkeys
+    before moving (partial dedup — at the design point this is the
+    classic bitmap/semi-join reduction); both sides then share ONE
+    keyed hash repartition via a tagged union, so each block holds a
+    disjoint, complete set of custkeys and the anti-join is an
+    in-block isin(). No broadcast (both sides are large at scale), one
+    all-to-all over keys + names only."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"], split=True)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == priority,
+    )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "side": pa.array(["c"] * len(t), type=pa.string()),
+        })
+        return out
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t["o_custkey"].combine_chunks())
+        return pa.table({
+            "c_custkey": keys,
+            "c_name": pa.array([None] * len(keys), type=pa.string()),
+            "side": pa.array(["o"] * len(keys), type=pa.string()),
+        })
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow"))
+    both = hash_partition(both, ["c_custkey"], _join_parts())
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = set(df.loc[df["side"] == "o", "c_custkey"])
+        out = df[(df["side"] == "c") & ~df["c_custkey"].isin(have)]
+        return out[["c_custkey", "c_name"]].reset_index(drop=True)
+
+    return both.map_batches(anti, batch_format="pandas", batch_size=None)
+
+
+def value_quartiles_by_type(sf_dir: str):
+    """Exact per-group quantiles: 25th/50th/75th percentile of
+    ``value`` per event_type (linear interpolation — matches SQL
+    ``percentile_cont``).
+
+    Scale shape: one keyed hash repartition on event_type co-locates
+    each group, then numpy computes the three quantiles in-block.
+    Exactness requires each group's values in one place — valid while
+    per-key volume fits a worker (true for low-cardinality type keys);
+    a high-cardinality/heavy-key variant would swap in a t-digest
+    sketch combiner at the cost of exactness."""
+    ev = _read(sf_dir, "events", ["event_type", "value"], split=True)
+    ev = hash_partition(ev, ["event_type"], 4)
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            q1, med, q3 = np.percentile(
+                grp["value"].to_numpy(), [25, 50, 75])
+            rows.append((et, round(q1, 6), round(med, 6), round(q3, 6)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "q1", "median", "q3"])
+
+    return ev.map_batches(block, batch_format="pandas", batch_size=None)

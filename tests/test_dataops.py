@@ -513,3 +513,99 @@ class TestAsofAndWindows:
         ref = ref.sort_values("event_id").reset_index(drop=True)
         assert len(got) == len(df)
         assert np.allclose(got["cum_value"], ref["cum_value"])
+
+
+class TestRankGapAntiQuantile:
+    """Rank-per-group, lead/lag gaps, anti-join, exact quantiles —
+    semantics vs single-frame pandas references on planted data."""
+
+    def _events(self):
+        rng = np.random.default_rng(11)
+        n = 300
+        ts = pd.Timestamp("2024-02-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 10**6, n)), unit="s"
+        )
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "user_id": rng.integers(0, 9, n).astype("int64"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.uniform(0.1, 40, n).round(2),
+            "props": [""] * n,
+        })
+
+    def test_top_spenders_rank(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import top_spenders_per_type
+
+        df = self._events()
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = top_spenders_per_type(str(sf), k=2).to_pandas()
+        got = got.sort_values(["event_type", "rnk"]).reset_index(drop=True)
+
+        tot = df.groupby(["event_type", "user_id"])["value"].sum().reset_index()
+        tot = tot.sort_values(["event_type", "value", "user_id"],
+                              ascending=[True, False, True])
+        tot["rnk"] = tot.groupby("event_type").cumcount() + 1
+        ref = tot[tot["rnk"] <= 2].reset_index(drop=True)
+        assert len(got) == len(ref)
+        assert got["user_id"].tolist() == ref["user_id"].tolist()
+        assert np.allclose(got["total_value"], ref["value"].round(6))
+        assert got["rnk"].tolist() == ref["rnk"].tolist()
+
+    def test_user_event_gaps(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import user_event_gaps
+
+        df = self._events()
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = user_event_gaps(str(sf)).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+
+        ref = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = ref.groupby("user_id", sort=False)
+        prev_id, prev_ts = g["event_id"].shift(1), g["ts"].shift(1)
+        keep = prev_id.notna()
+        exp = pd.DataFrame({
+            "event_id": ref.loc[keep, "event_id"],
+            "prev_event_id": prev_id[keep].astype("int64"),
+            "gap_s": (ref.loc[keep, "ts"] - prev_ts[keep])
+                     .dt.total_seconds().round(3),
+        }).sort_values("event_id").reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert got["prev_event_id"].tolist() == exp["prev_event_id"].tolist()
+        assert np.allclose(got["gap_s"], exp["gap_s"])
+        assert (got["gap_s"] >= 0).all()
+
+    def test_anti_join_planted(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import customers_without_urgent_orders
+
+        cust = pd.DataFrame({
+            "c_custkey": np.arange(10, dtype="int64"),
+            "c_name": [f"c{i}" for i in range(10)],
+        })
+        # customers 0-5 have urgent orders; 6-9 have only LOW or none
+        orders = pd.DataFrame({
+            "o_custkey": np.array([0, 1, 2, 3, 4, 5, 6, 7], dtype="int64"),
+            "o_orderpriority": ["1-URGENT"] * 6 + ["5-LOW"] * 2,
+        })
+        sf = tmp_path / "sf"; sf.mkdir()
+        cust.to_parquet(sf / "customer.parquet")
+        orders.to_parquet(sf / "orders.parquet")
+        got = customers_without_urgent_orders(str(sf)).to_pandas()
+        assert sorted(got["c_custkey"]) == [6, 7, 8, 9]
+
+    def test_quartiles_match_numpy(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import value_quartiles_by_type
+
+        df = self._events()
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = value_quartiles_by_type(str(sf)).to_pandas()
+        got = got.sort_values("event_type").reset_index(drop=True)
+        for _, row in got.iterrows():
+            vals = df.loc[df["event_type"] == row["event_type"], "value"]
+            q1, med, q3 = np.percentile(vals.to_numpy(), [25, 50, 75])
+            assert abs(row["q1"] - round(q1, 6)) < 1e-9
+            assert abs(row["median"] - round(med, 6)) < 1e-9
+            assert abs(row["q3"] - round(q3, 6)) < 1e-9
