@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": Q.user_event_gaps,
         "customers_without_urgent_orders": Q.customers_without_urgent_orders,
         "value_quartiles_by_type": Q.value_quartiles_by_type,
+        "purchase_context_events": Q.purchase_context_events,
+        "price_qty_corr_by_flag": Q.price_qty_corr_by_flag,
+        "jaccard_dup_clusters": Q.jaccard_dup_clusters,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -599,6 +602,54 @@ def oracle_sql() -> dict[str, str]:
                    round(percentile_cont(0.75) WITHIN GROUP
                          (ORDER BY value), 6) AS q3
             FROM events GROUP BY event_type
+        """,
+        "purchase_context_events": """
+            SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                   e.event_id AS ctx_event_id, e.event_type AS ctx_type,
+                   round(epoch(p.ts - e.ts), 3) AS lead_s
+            FROM events p JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 1 HOUR
+             AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
+        """,
+        "price_qty_corr_by_flag": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "jaccard_dup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                   generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM toks),
+            p AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                            WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                            ELSE len(list_intersect(a.s, b.s)) * 1.0
+                                 / len(list_distinct(list_concat(a.s, b.s)))
+                       END AS j
+                FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+            e AS (
+                SELECT doc_id_a AS src, doc_id_b AS dst FROM p WHERE j >= 0.8
+                UNION ALL
+                SELECT doc_id_b, doc_id_a FROM p WHERE j >= 0.8),
+            r(node, reach) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, r.reach FROM r JOIN e ON r.node = e.src)
+            SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+            FROM r GROUP BY node
         """,
         "ann_topk": """
             WITH q AS (

@@ -1435,3 +1435,197 @@ def value_quartiles_by_type(sf_dir: str):
             rows, columns=["event_type", "q1", "median", "q3"])
 
     return ev.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def purchase_context_events(sf_dir: str, window_s: int = 3600):
+    """Bounded interval (range) join: for every purchase, all events of
+    the same user in the ``window_s`` seconds strictly before it — SQL
+    ``e.ts >= p.ts - INTERVAL .. AND e.ts < p.ts`` with equality on
+    ``user_id``.
+
+    Scale shape: one keyed hash repartition on ``user_id`` co-locates
+    each user's events, then the in-block expansion is fully
+    vectorized: per-user timestamp streams are packed onto one int64
+    axis (user index x padded span, so one ``searchsorted`` serves
+    every user at once) and the irregular [lo, hi) ranges are
+    flattened with the standard multi-arange construction — no Python
+    loop over purchases or users. Output size is bounded by
+    sum-of-window-occupancy, streamed block-by-block."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+               split=True)
+    ev = hash_partition(ev, ["user_id"], _join_parts())
+
+    out_cols = {"purchase_id": "int64", "user_id": "int64",
+                "ctx_event_id": "int64", "ctx_type": "object",
+                "lead_s": "float64"}
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or not (df["event_type"] == "purchase").any():
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = df["ts"].to_numpy("datetime64[us]").view("int64")
+        uidx = pd.factorize(df["user_id"].to_numpy())[0]
+        w = np.int64(window_s) * 1_000_000
+        # Pack all users on one axis: stride > any user's span + window
+        # so windows can never cross user boundaries.
+        stride = (ts.max() - ts.min()) + 2 * w + 2
+        axis = uidx * stride + (ts - ts.min())
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        p_axis = axis[is_p]
+        lo = np.searchsorted(axis, p_axis - w, side="left")
+        hi = np.searchsorted(axis, p_axis, side="left")  # strict <
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        # multi-arange: ctx[i] spans lo[j]..hi[j] for each purchase j
+        shift = np.repeat(np.cumsum(cnt) - cnt - lo, cnt)
+        ctx = np.arange(total, dtype=np.int64) - shift
+        pj = np.repeat(np.arange(len(p_axis)), cnt)
+        eid = df["event_id"].to_numpy()
+        p_eid = eid[is_p]
+        p_ts = ts[is_p]
+        return pd.DataFrame({
+            "purchase_id": p_eid[pj],
+            "user_id": df["user_id"].to_numpy()[is_p][pj],
+            "ctx_event_id": eid[ctx],
+            "ctx_type": df["event_type"].to_numpy()[ctx],
+            "lead_s": np.round((p_ts[pj] - ts[ctx]) / 1e6, 3),
+        })
+
+    return ev.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def price_qty_corr_by_flag(sf_dir: str):
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    l_returnflag via an ALGEBRAIC combiner: each block reduces to
+    (n, sx, sy, sxx, syy, sxy) per flag — six numbers — so the
+    10^10-row table collapses before anything moves; the tiny partial
+    table coalesces to one block for the closed-form merge. Sums use
+    extended precision (longdouble) so the raw-moment formula stays
+    well inside the 1e-6 comparison tolerance."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"], split=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            x = g["l_quantity"].to_numpy(np.longdouble)
+            y = g["l_extendedprice"].to_numpy(np.longdouble)
+            rows.append((flag, len(x), float(x.sum()), float(y.sum()),
+                         float((x * x).sum()), float((y * y).sum()),
+                         float((x * y).sum())))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "n", "sx", "sy",
+                           "sxx", "syy", "sxy"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        n = g["n"].to_numpy(np.longdouble)
+        sx, sy = g["sx"].to_numpy(np.longdouble), g["sy"].to_numpy(np.longdouble)
+        sxx, syy = g["sxx"].to_numpy(np.longdouble), g["syy"].to_numpy(np.longdouble)
+        sxy = g["sxy"].to_numpy(np.longdouble)
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        corr = (num / den).astype(np.float64)
+        return pd.DataFrame({
+            "l_returnflag": g["l_returnflag"],
+            "corr_qty_price": np.round(corr, 6),
+        })
+
+    return li.map_batches(
+        partial, batch_format="pandas"
+    ).repartition(1).map_batches(merge, batch_format="pandas",
+                                 batch_size=None)
+
+
+def jaccard_dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Connected components over the exact n-gram Jaccard near-dup
+    graph: every document that appears in a >=threshold pair, labeled
+    with its component's minimum doc_id (the canonical "keep one copy
+    per duplicate cluster" reduction that follows any pair-generating
+    dedup).
+
+    Distributed min-label propagation on the edge list (the map-reduce
+    CC shape): labels start as node ids; each round hash-joins labels
+    to edge sources, propagates them to destinations, and takes the
+    per-node min under ONE keyed hash repartition; a per-round changed
+    counter (computed in the same reduce, no extra pass) stops at the
+    fixpoint, reached in O(component diameter) rounds. Every round
+    moves only |edges| + |nodes| rows — independent of corpus size —
+    which is the point: near-dup graphs are sparse even at 10^10
+    documents."""
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"src": df["doc_id_a"], "dst": df["doc_id_b"]})
+        rev = pd.DataFrame({"src": df["doc_id_b"], "dst": df["doc_id_a"]})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pandas"
+    ).map_batches(_rename_clean({}), batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "cluster_id": pd.Series(dtype="int64"),
+        })
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["src"].unique()
+        return pd.DataFrame({
+            "node": nodes.astype("int64"),
+            "label": nodes.astype("int64"),
+            "is_old": np.ones(len(nodes), dtype="int64"),
+        })
+
+    # src-keyed blocks => per-block unique() dedups nodes completely.
+    labels = hash_partition(edges, ["src"], _join_parts(4)).map_batches(
+        init_labels, batch_format="pandas", batch_size=None).materialize()
+
+    nparts = _join_parts(4)
+    for _round in range(64):
+        lab = labels.map_batches(
+            _rename_clean({"node": "src", "label": "label"}),
+            batch_format="pyarrow",
+        ).drop_columns(["is_old"])
+        prop = edges.join(
+            lab, join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("src",),
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["dst"].astype("int64"),
+                "label": df["label"].astype("int64"),
+                "is_old": np.zeros(len(df), dtype="int64"),
+            }),
+            batch_format="pandas",
+        )
+        cand = labels.union(prop)
+        cand = hash_partition(cand, ["node"], nparts)
+
+        def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)
+            new = g["label"].min()
+            old = df[df["is_old"] == 1].set_index("node")["label"]
+            old = old.reindex(new.index)
+            changed = (new != old).astype("int64")
+            out = new.reset_index()
+            out["is_old"] = 1
+            out["changed"] = changed.to_numpy()
+            return out
+
+        labels = cand.map_batches(
+            reduce_min, batch_format="pandas", batch_size=None).materialize()
+        if labels.sum("changed") == 0:
+            break
+        labels = labels.drop_columns(["changed"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["node"].astype("int64"),
+            "cluster_id": df["label"].astype("int64"),
+        })
+
+    return labels.map_batches(finish, batch_format="pandas")

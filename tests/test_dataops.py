@@ -609,3 +609,122 @@ class TestRankGapAntiQuantile:
             assert abs(row["q1"] - round(q1, 6)) < 1e-9
             assert abs(row["median"] - round(med, 6)) < 1e-9
             assert abs(row["q3"] - round(q3, 6)) < 1e-9
+
+
+class TestIntervalCorrClusters:
+    """Interval join, algebraic corr combiner, connected components."""
+
+    def test_purchase_context_window(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import purchase_context_events
+
+        rng = np.random.default_rng(3)
+        n = 250
+        ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 10**5, n)), unit="s")
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "user_id": rng.integers(0, 7, n).astype("int64"),
+            "event_type": rng.choice(["purchase", "view", "click"], n),
+            "value": np.ones(n),
+            "props": [""] * n,
+        })
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = purchase_context_events(str(sf), window_s=3600).to_pandas()
+        got = got.sort_values(
+            ["purchase_id", "ctx_event_id"]).reset_index(drop=True)
+
+        # quadratic reference
+        rows = []
+        for _, p in df[df.event_type == "purchase"].iterrows():
+            w = df[(df.user_id == p.user_id)
+                   & (df.ts >= p.ts - pd.Timedelta(seconds=3600))
+                   & (df.ts < p.ts)]
+            for _, e in w.iterrows():
+                rows.append((p.event_id, p.user_id, e.event_id, e.event_type,
+                             round((p.ts - e.ts).total_seconds(), 3)))
+        ref = pd.DataFrame(rows, columns=[
+            "purchase_id", "user_id", "ctx_event_id", "ctx_type", "lead_s"
+        ]).sort_values(["purchase_id", "ctx_event_id"]).reset_index(drop=True)
+        assert len(got) == len(ref)
+        for c in ["purchase_id", "user_id", "ctx_event_id", "ctx_type"]:
+            assert got[c].tolist() == ref[c].tolist()
+        assert np.allclose(got["lead_s"], ref["lead_s"])
+        assert (got["lead_s"] > 0).all()  # strictly-before window
+
+    def test_corr_matches_numpy(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import price_qty_corr_by_flag
+
+        rng = np.random.default_rng(5)
+        n = 500
+        qty = rng.integers(1, 50, n).astype("float64")
+        price = qty * 100 + rng.normal(0, 300, n)
+        df = pd.DataFrame({
+            "l_orderkey": np.arange(n, dtype="int64"),
+            "l_partkey": np.zeros(n, dtype="int64"),
+            "l_suppkey": np.zeros(n, dtype="int64"),
+            "l_linenumber": np.zeros(n, dtype="int32"),
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": np.zeros(n),
+            "l_tax": np.zeros(n),
+            "l_returnflag": rng.choice(["A", "N", "R"], n),
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": pd.Timestamp("1997-01-01"),
+        })
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "lineitem.parquet")
+        got = price_qty_corr_by_flag(str(sf)).to_pandas()
+        got = got.sort_values("l_returnflag").reset_index(drop=True)
+        for _, row in got.iterrows():
+            g = df[df.l_returnflag == row.l_returnflag]
+            exp = np.corrcoef(g.l_quantity, g.l_extendedprice)[0, 1]
+            assert abs(row.corr_qty_price - round(exp, 6)) < 2e-6
+
+    def test_clusters_min_label(self, ray_session, tmp_path):
+        """Planted near-identical doc groups must each collapse to one
+        cluster labeled by its min doc_id; distinct texts stay out."""
+        from kit_ray.pipelines.dataops import jaccard_dup_clusters
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        alt = ("completely different words describing an unrelated "
+               "subject matter with no overlap in shingles whatsoever "
+               "for this test")
+        docs = []
+        # group A: ids 0,1,2 identical; group B: ids 10,11 identical
+        for i in [0, 1, 2]:
+            docs.append({"doc_id": i, "text": base})
+        for i in [10, 11]:
+            docs.append({"doc_id": i, "text": alt})
+        # singletons with unique text
+        docs.append({"doc_id": 20, "text": "totally unique words here alpha beta gamma delta epsilon zeta eta theta"})
+        df = pd.DataFrame(docs)
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        got = jaccard_dup_clusters(str(sf), threshold=0.8)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        exp = {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+        assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
+
+    def test_clusters_chain_transitive(self, ray_session, tmp_path):
+        """A near-dup CHAIN (a~b, b~c, but a!~c) must still land in one
+        component — the transitive closure only connected components
+        provide (pair lists alone don't)."""
+        from kit_ray.pipelines.dataops import jaccard_dup_clusters
+
+        words = [f"w{i}" for i in range(40)]
+        a = " ".join(words[0:30])
+        b = " ".join(words[3:33])   # high overlap with a and c
+        c = " ".join(words[6:36])   # high overlap with b, lower with a
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, c]})
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        got = jaccard_dup_clusters(str(sf), threshold=0.75)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        # a~b and b~c pass 0.75 (j=25/31); a~c does not (j=22/34): the
+        # three docs form a chain, and components must close it.
+        assert len(got) == 3
+        assert set(got["cluster_id"]) == {1}
