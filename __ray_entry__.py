@@ -279,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_context_events": Q.purchase_context_events,
         "price_qty_corr_by_flag": Q.price_qty_corr_by_flag,
         "jaccard_dup_clusters": Q.jaccard_dup_clusters,
+        "approx_quantiles_by_type": Q.approx_quantiles_by_type,
+        "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
+        "train_test_split_docs": Q.train_test_split_docs,
+        "sample_events_per_type": Q.sample_events_per_type,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -650,6 +654,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.reach FROM r JOIN e ON r.node = e.src)
             SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
             FROM r GROUP BY node
+        """,
+        "train_test_split_docs": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        """,
+        "sample_events_per_type": """
+            SELECT event_id, event_type, user_id FROM (
+                SELECT event_id, event_type, user_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY (event_id * 2654435761) % 4294967296,
+                                    event_id) AS rn
+                FROM events)
+            WHERE rn <= 5
         """,
         "ann_topk": """
             WITH q AS (

@@ -1629,3 +1629,212 @@ def jaccard_dup_clusters(sf_dir: str, threshold: float = 0.8):
         })
 
     return labels.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sketches + deterministic sampling (the 100-TB scale paths of the
+# exact quantile / distinct-count / sampling ops above)
+# ---------------------------------------------------------------------------
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      max_centroids: int):
+    """Equal-weight re-compression of a sorted centroid list — the
+    mergeable core of a simplified t-digest (Dunning & Ertl's digest
+    with a uniform size bound instead of the q-scaled one; error is
+    O(1/max_centroids) at every quantile rather than tighter at the
+    tails, which is enough for pipeline stats)."""
+    if len(means) <= max_centroids:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    # target bucket per centroid: equal cumulative weight
+    bucket = np.minimum(
+        (cum - weights / 2) / total * max_centroids, max_centroids - 1e-9
+    ).astype(np.int64)
+    out_w = np.bincount(bucket, weights=weights, minlength=max_centroids)
+    out_m = np.bincount(bucket, weights=weights * means,
+                        minlength=max_centroids)
+    keep = out_w > 0
+    return out_m[keep] / out_w[keep], out_w[keep]
+
+
+def _tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                      qs: list[float]) -> list[float]:
+    """Quantile estimate by linear interpolation over centroid
+    midpoints (standard t-digest query)."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    cum = np.cumsum(weights) - weights / 2
+    total = weights.sum()
+    return [float(np.interp(q * total, cum, means)) for q in qs]
+
+
+def approx_quantiles_by_type(sf_dir: str, max_centroids: int = 256):
+    """Approximate per-group quantiles via a MERGEABLE centroid sketch
+    — the scale path of ``value_quartiles_by_type``: where the exact op
+    needs each group's full value set in one block (only viable for
+    low-cardinality keys), this one reduces every block to <=K
+    (mean, weight) centroids per group, so a 10^10-row group costs
+    K numbers per block on the wire and the merge is associative.
+    Accuracy is pinned by pytest against the exact quantiles
+    (O(1/K) bound, K=256 -> well under 1% of the value range)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"], split=True)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            m, w = _tdigest_compress(v, np.ones_like(v), max_centroids)
+            rows.append((et, m.tolist(), w.tolist()))
+        return pd.DataFrame(rows, columns=["event_type", "means", "weights"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            m = np.concatenate([np.asarray(x) for x in g["means"]])
+            w = np.concatenate([np.asarray(x) for x in g["weights"]])
+            m, w = _tdigest_compress(m, w, max_centroids)
+            q1, med, q3 = _tdigest_quantile(m, w, [0.25, 0.5, 0.75])
+            rows.append((et, round(q1, 6), round(med, 6), round(q3, 6)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "q1", "median", "q3"])
+
+    return ev.map_batches(
+        sketch, batch_format="pandas"
+    ).repartition(1).map_batches(merge, batch_format="pandas",
+                                 batch_size=None)
+
+
+_HLL_P = 12  # 4096 registers; standard error 1.04/sqrt(4096) ~ 1.6%
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — a well-mixed vectorized 64-bit hash."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _hll_registers(ids: np.ndarray) -> np.ndarray:
+    """Per-value HLL register updates: returns the max rho per register
+    for this batch (a 2^p uint8 array — the mergeable sketch)."""
+    h = _splitmix64(ids)
+    reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    # rho = leading zeros of rest + 1, via bit_length
+    lz = np.uint64(64) - np.uint64(_HLL_P) \
+        - _bit_length_u64(rest >> np.uint64(_HLL_P)) + np.uint64(1)
+    sk = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    np.maximum.at(sk, reg, lz.astype(np.uint8))
+    return sk
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (log2 floor + 1; 0 -> 0)."""
+    out = np.zeros_like(x, dtype=np.uint64)
+    nz = x > 0
+    # float64 log2 is exact enough for bit_length up to 2^52; the HLL
+    # rest-bits value fits in 52 bits (64 - p - 1 guard below).
+    out[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(
+        np.uint64) + np.uint64(1)
+    return out
+
+
+def _hll_estimate(sk: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction (Flajolet et al. 2007)."""
+    m = float(len(sk))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -sk.astype(np.float64)))
+    zeros = float(np.count_nonzero(sk == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct_users_per_type(sf_dir: str):
+    """Approximate distinct-count per group via HyperLogLog — the scale
+    path of ``unique_users_per_type``: the exact op's pair-dedup
+    combiner still moves one row per DISTINCT (type, user) pair, which
+    at 10^9 users is itself a heavy shuffle; the HLL sketch is a fixed
+    4 KiB per (block, group) regardless of cardinality, merged by
+    elementwise max. ~1.6% standard error (p=12), pinned by pytest
+    against the exact counts."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"], split=True)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            sk = _hll_registers(g["user_id"].to_numpy(np.int64))
+            rows.append((et, sk.tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            sk = np.zeros(1 << _HLL_P, dtype=np.uint8)
+            for b in g["sketch"]:
+                np.maximum(sk, np.frombuffer(b, dtype=np.uint8), out=sk)
+            rows.append((et, int(round(_hll_estimate(sk)))))
+        return pd.DataFrame(rows, columns=["event_type", "approx_users"])
+
+    return ev.map_batches(
+        sketch, batch_format="pandas"
+    ).repartition(1).map_batches(merge, batch_format="pandas",
+                                 batch_size=None)
+
+
+_SPLIT_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def train_test_split_docs(sf_dir: str, train_pct: int = 80):
+    """Deterministic train/test split tag per document — the standard
+    reproducible-split op of a training-data pipeline. The tag derives
+    from integer arithmetic on doc_id (Knuth multiplicative hash mod
+    2^32), so it is stable across runs, machines, and engines — the
+    SQL oracle computes the identical expression. Embarrassingly
+    parallel: no shuffle at all, one vectorized map over blocks."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy(np.uint64)
+             * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "split": np.where((h % 100) < train_pct, "train", "test"),
+        })
+
+    return docs.map_batches(tag, batch_format="pandas")
+
+
+def sample_events_per_type(sf_dir: str, n: int = 5):
+    """Deterministic per-group sampling: the n events of each
+    event_type with the smallest hashed ids — a reproducible uniform
+    group sample (hash order is pseudorandom in event_id but identical
+    in any engine).
+
+    Scale shape: per-block partial top-n-by-hash per group (the
+    top_revenue_items combiner), so each block contributes at most
+    n x |types| rows; the tiny union coalesces to one block for the
+    final top-n. No full shuffle, no sort of the corpus."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "user_id"],
+               split=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["event_id"].to_numpy(np.uint64)
+             * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32)
+        df = df.assign(h=h.astype("int64"))
+        df = df.sort_values(["event_type", "h", "event_id"], kind="stable")
+        return df.groupby("event_type", sort=False).head(n)
+
+    return ev.map_batches(
+        partial, batch_format="pandas"
+    ).repartition(1).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).drop_columns(["h"])

@@ -728,3 +728,124 @@ class TestIntervalCorrClusters:
         # three docs form a chain, and components must close it.
         assert len(got) == 3
         assert set(got["cluster_id"]) == {1}
+
+
+class TestSketchesAndSampling:
+    """Mergeable sketches (t-digest quantiles, HLL distinct) and
+    deterministic sampling/split ops."""
+
+    def test_tdigest_compress_preserves_mass(self):
+        from kit_ray.pipelines.dataops import (_tdigest_compress,
+                                               _tdigest_quantile)
+
+        rng = np.random.default_rng(1)
+        v = rng.lognormal(0, 1.5, 20_000)  # skewed
+        m, w = _tdigest_compress(v, np.ones_like(v), 256)
+        assert len(m) <= 256
+        assert abs(w.sum() - len(v)) < 1e-6
+        for q in [0.25, 0.5, 0.75, 0.95]:
+            est = _tdigest_quantile(m, w, [q])[0]
+            exact = np.quantile(v, q)
+            spread = np.quantile(v, min(q + 0.02, 1)) - np.quantile(
+                v, max(q - 0.02, 0))
+            assert abs(est - exact) <= max(spread, 1e-3)
+
+    def test_approx_quantiles_close_to_exact(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import (approx_quantiles_by_type,
+                                               value_quartiles_by_type)
+
+        rng = np.random.default_rng(2)
+        n = 8000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": rng.exponential(10, n),
+            "props": [""] * n,
+        })
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        approx = approx_quantiles_by_type(str(sf)).to_pandas()
+        exact = value_quartiles_by_type(str(sf)).to_pandas()
+        m = approx.merge(exact, on="event_type", suffixes=("_a", "_e"))
+        for c in ["q1", "median", "q3"]:
+            rel = (m[f"{c}_a"] - m[f"{c}_e"]).abs() / m[f"{c}_e"]
+            assert (rel < 0.05).all(), (c, m)
+
+    def test_hll_accuracy_and_merge(self):
+        from kit_ray.pipelines.dataops import (_hll_estimate,
+                                               _hll_registers)
+
+        rng = np.random.default_rng(3)
+        ids = rng.choice(10**9, 50_000, replace=False).astype(np.int64)
+        # merged halves must equal the whole (mergeability)
+        a = _hll_registers(ids[:25_000])
+        b = _hll_registers(ids[25_000:])
+        whole = _hll_registers(ids)
+        assert (np.maximum(a, b) == whole).all()
+        est = _hll_estimate(whole)
+        assert abs(est - 50_000) / 50_000 < 0.05  # 3x standard error
+
+    def test_approx_distinct_users(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import approx_distinct_users_per_type
+
+        rng = np.random.default_rng(4)
+        n = 20_000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": rng.integers(0, 3000, n).astype("int64"),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": np.ones(n),
+            "props": [""] * n,
+        })
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = approx_distinct_users_per_type(str(sf)).to_pandas()
+        exact = df.groupby("event_type")["user_id"].nunique()
+        for _, row in got.iterrows():
+            e = exact[row["event_type"]]
+            assert abs(row["approx_users"] - e) / e < 0.05
+
+    def test_split_deterministic_and_proportioned(self, ray_session,
+                                                  tmp_path):
+        from kit_ray.pipelines.dataops import train_test_split_docs
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(5000, dtype="int64"),
+            "text": ["x"] * 5000,
+        })
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        a = train_test_split_docs(str(sf)).to_pandas().sort_values("doc_id")
+        b = train_test_split_docs(str(sf)).to_pandas().sort_values("doc_id")
+        assert a["split"].tolist() == b["split"].tolist()  # reproducible
+        frac = (a["split"] == "train").mean()
+        assert 0.75 < frac < 0.85
+
+    def test_sample_per_type_matches_global_rank(self, ray_session,
+                                                 tmp_path):
+        from kit_ray.pipelines.dataops import (_SPLIT_MULT,
+                                               sample_events_per_type)
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": np.ones(n),
+            "props": [""] * n,
+        })
+        sf = tmp_path / "sf"; sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = sample_events_per_type(str(sf), n=4).to_pandas()
+        h = (df["event_id"].to_numpy(np.uint64)
+             * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32)
+        ref = df.assign(h=h.astype("int64")).sort_values(
+            ["event_type", "h", "event_id"]).groupby(
+            "event_type", sort=False).head(4)
+        assert sorted(got["event_id"]) == sorted(ref["event_id"])
+        assert set(got.columns) == {"event_id", "event_type", "user_id"}
