@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
         "train_test_split_docs": Q.train_test_split_docs,
         "sample_events_per_type": Q.sample_events_per_type,
+        "top_terms": Q.top_terms,
+        "term_doc_freq": Q.term_doc_freq,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -670,6 +672,27 @@ def oracle_sql() -> dict[str, str]:
                                     event_id) AS rn
                 FROM events)
             WHERE rn <= 5
+        """,
+        "top_terms": """
+            SELECT term, CAST(cnt AS BIGINT) AS cnt FROM (
+                SELECT term, count(*) AS cnt FROM (
+                    SELECT unnest(string_split_regex(
+                        lower(text), '[^a-z0-9]+')) AS term
+                    FROM documents)
+                WHERE term <> '' GROUP BY term)
+            ORDER BY cnt DESC, term LIMIT 30
+        """,
+        "term_doc_freq": """
+            WITH n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_cnt,
+                   round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                            / count(DISTINCT doc_id)), 6) AS idf
+            FROM (
+                SELECT doc_id, unnest(string_split_regex(
+                    lower(text), '[^a-z0-9]+')) AS term
+                FROM documents)
+            WHERE term <> '' GROUP BY term
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "ann_topk": """
             WITH q AS (

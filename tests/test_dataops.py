@@ -849,3 +849,55 @@ class TestSketchesAndSampling:
             "event_type", sort=False).head(4)
         assert sorted(got["event_id"]) == sorted(ref["event_id"])
         assert set(got.columns) == {"event_id", "event_type", "user_id"}
+
+
+class TestTermStats:
+    """Term frequency / document frequency ops."""
+
+    def _docs(self, tmp_path):
+        df = pd.DataFrame({
+            "doc_id": np.arange(6, dtype="int64"),
+            "text": [
+                "the cat sat on the mat",
+                "The Cat! ate;  the42 fish",
+                "dogs and cats and dogs",
+                "",
+                "fish fish fish",
+                "the end",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": np.zeros(6, dtype="int64"),
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        return str(sf), df
+
+    def test_top_terms_exact_counts(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import top_terms
+
+        sf, df = self._docs(tmp_path)
+        got = top_terms(sf, n=5).to_pandas()
+        # reference counts by the same tokenizer, independently coded
+        import re
+        from collections import Counter
+
+        c = Counter()
+        for t in df["text"]:
+            c.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_pairs = list(zip(got["term"], got["cnt"]))
+        assert got_pairs == want
+
+    def test_term_doc_freq_and_idf(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import term_doc_freq
+
+        sf, df = self._docs(tmp_path)
+        got = term_doc_freq(sf, min_df=2).to_pandas().set_index("term")
+        # 'the' in docs 0,1,5; 'cat' in 0,1; 'fish' in 1,4; 'dogs' df=1
+        assert got.loc["the", "df_cnt"] == 3
+        assert got.loc["cat", "df_cnt"] == 2
+        assert got.loc["fish", "df_cnt"] == 2
+        assert "dogs" not in got.index  # min_df filter
+        assert abs(got.loc["cat", "idf"] - round(np.log(6 / 2), 6)) < 1e-9
