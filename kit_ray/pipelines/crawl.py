@@ -386,7 +386,8 @@ def crawl(
     t0 = time.time()
     if not (resume and storage.valid_checkpoint(order_dir, digest)):
         shutil.rmtree(order_dir, ignore_errors=True)  # see stage-1 note
-        robots_ds = robots_mat if robots_mat is not None else rd.read_parquet(robots_dir)
+        robots_ds = (robots_mat if robots_mat is not None else
+             storage.strip_schema_metadata(rd.read_parquet(robots_dir)))
         # Two-phase skew-resilient traversal: phase A expands each
         # host's sitemap DAG into leaf work items (cheap, per host);
         # phase B fetches+parses LEAF sitemaps in parallel across all
@@ -543,7 +544,8 @@ def crawl(
         # The schedule is tiny metadata but usually a single file: spread
         # it so the fetch pool's parallelism isn't capped by source
         # block count.
-        order_ds = rd.read_parquet(order_dir).repartition(par * 2)
+        order_ds = storage.strip_schema_metadata(
+            rd.read_parquet(order_dir)).repartition(par * 2)
         todo_arr = pa.array(sorted(todo_set), pa.int32())
         pending = order_ds.map_batches(
             lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=todo_arr)),

@@ -49,9 +49,25 @@ def _read(sf_dir: str, table: str, columns=None, split: bool = False):
     kw = {}
     if split:
         kw["override_num_blocks"] = _par() * 2
-    return rd.read_parquet(
+    return _clean(rd.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns, **kw
-    )
+    ))
+
+
+def _clean(ds):
+    """Zero-copy strip of file-footer schema metadata right after a
+    parquet read. Pandas-written parquet (the testdata tables AND our
+    own checkpoints written from pandas batches) carries ``b'pandas'``
+    schema metadata whose nested dict makes ``pa.Schema`` unhashable;
+    blocks read from such files then make every downstream hash join /
+    sort / repartition log ``Failed to hash the schemas (for
+    deduplication)`` per block and lose the shuffle's schema dedup
+    (redundant schema bytes shipped with each block). The kit_ray
+    monkeypatch covers pandas->arrow conversions in-process; this
+    covers the read boundary (delegates to the storage seam)."""
+    from ..sources.storage import strip_schema_metadata
+
+    return strip_schema_metadata(ds)
 
 
 def _table_rows(sf_dir: str, table: str) -> int:
@@ -412,10 +428,10 @@ def phash_copy_pairs(images_dir: str, max_hamming: int = 7, chunks: int = 8,
 
     from ..stages.data_stages import PhashVariants
 
-    imgs = rd.read_parquet(
+    imgs = _clean(rd.read_parquet(
         images_dir, file_extensions=["parquet"],
         columns=["image_id", "bytes", "fmt", "w", "h", "phash"],
-    )
+    ))
     variants = imgs.map_batches(
         PhashVariants, batch_format="pyarrow", batch_size=128,
         concurrency=(1, max(2, _par() // 2)),
@@ -1230,21 +1246,21 @@ def q3_top_unshipped(sf_dir: str, segment: str = "BUILDING",
     cut = pa.scalar(pd.Timestamp(cutoff).to_pydatetime())
     # Row filters passed to the parquet read prune whole row groups
     # before their bytes leave storage (statistics-based), not after.
-    cust = rd.read_parquet(
+    cust = _clean(rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
         filter=pc.field("c_mktsegment") == segment,
-    )
-    orders = rd.read_parquet(
+    ))
+    orders = _clean(rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=pc.field("o_orderdate") < cut,
-    )
-    li = rd.read_parquet(
+    ))
+    li = _clean(rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pc.field("l_shipdate") > cut,
-    )
+    ))
     parts = _join_parts()
     qualified = orders.join(
         cust, join_type="inner", num_partitions=parts,
@@ -1377,11 +1393,11 @@ def customers_without_urgent_orders(sf_dir: str,
     in-block isin(). No broadcast (both sides are large at scale), one
     all-to-all over keys + names only."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"], split=True)
-    orders = rd.read_parquet(
+    orders = _clean(rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey"],
         filter=pc.field("o_orderpriority") == priority,
-    )
+    ))
 
     def tag_cust(t: pa.Table) -> pa.Table:
         out = pa.table({

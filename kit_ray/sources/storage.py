@@ -141,3 +141,21 @@ def valid_checkpoint(dir_path: str, digest: str) -> dict | None:
         shutil.rmtree(dir_path)
         return None
     return m
+
+
+def strip_schema_metadata(ds):
+    """Zero-copy strip of block schema metadata right after a read.
+
+    Pandas-written parquet files carry ``b'pandas'`` footer metadata
+    whose nested dict makes ``pa.Schema`` unhashable: every downstream
+    hash join / sort / repartition over such blocks logs ``Failed to
+    hash the schemas (for deduplication)`` per block and ships
+    redundant schema bytes with each shuffle message. ``batch_size=
+    None`` keeps blocks whole so this fuses with the read and copies
+    nothing.
+    """
+    return ds.map_batches(
+        lambda t: (t.replace_schema_metadata(None)
+                   if t.schema.metadata else t),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
