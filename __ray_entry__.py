@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events_per_type": Q.sample_events_per_type,
         "top_terms": Q.top_terms,
         "term_doc_freq": Q.term_doc_freq,
+        "bm25_search": Q.bm25_search,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -693,6 +694,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE term <> '' GROUP BY term
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "bm25_search": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                FROM tok),
+            qt AS (SELECT unnest(['hash', 'join', 'stream']) AS term),
+            dft AS (
+                SELECT q.term, count(*) AS dfc
+                FROM qt q, tok t
+                WHERE list_contains(t.toks, q.term)
+                GROUP BY q.term),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+                WHERE term IN ('hash', 'join', 'stream')
+                GROUP BY doc_id, term),
+            scores AS (
+                SELECT f.doc_id,
+                       sum( ln(1 + (s.n - d.dfc + 0.5) / (d.dfc + 0.5))
+                            * (f.tf * (1.2 + 1))
+                            / (f.tf + 1.2 * (1 - 0.75
+                                             + 0.75 * dlt.dl / s.avgdl))
+                       ) AS score
+                FROM tf f
+                JOIN dft d ON f.term = d.term
+                JOIN (SELECT doc_id, len(toks) AS dl FROM tok) dlt
+                  ON dlt.doc_id = f.doc_id
+                CROSS JOIN stats s
+                GROUP BY f.doc_id)
+            SELECT doc_id, round(score, 6) AS score
+            FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
         "ann_topk": """
             WITH q AS (

@@ -1937,3 +1937,69 @@ def term_doc_freq(sf_dir: str, min_df: int = 2):
     exact = hash_partition(partials, ["term"], nparts=min(_par(), 8))
     return exact.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def bm25_search(sf_dir: str, query: str = "hash join stream", k: int = 10,
+                k1: float = 1.2, b: float = 0.75):
+    """BM25 keyword search: top-k documents for a term query — the
+    lexical complement of ann_topk's vector search (Robertson-Sparck
+    Jones BM25, the idf = ln(1 + (N-df+0.5)/(df+0.5)) variant).
+
+    Scale shape — the corpus NEVER shuffles:
+      pass 1: per-block corpus-stat partials (one row per block: total
+              token count + per-query-term document frequencies) —
+              a few integers per block to the driver;
+      pass 2: vectorized per-block scoring (str.count per term against
+              broadcast idf/avgdl constants) + per-block top-k
+              combiner + tiny single-block merge.
+    Ordering ties broken by (rounded score DESC, doc_id ASC)
+    identically in the SQL oracle."""
+    import re as _re
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+    terms = list(dict.fromkeys(
+        t for t in _re.split(_TERM_SPLIT_RE, query.lower()) if t))
+    n_docs = _table_rows(sf_dir, "documents")
+
+    def pat(t: str) -> str:
+        return rf"(?<![a-z0-9]){_re.escape(t)}(?![a-z0-9])"
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        row = {"sum_dl": [int(low.str.count("[a-z0-9]+").sum())]}
+        for i, t in enumerate(terms):
+            row[f"df_{i}"] = [int((low.str.count(pat(t)) > 0).sum())]
+        return pd.DataFrame(row)
+
+    st = docs.map_batches(stats_partial, batch_format="pandas",
+                          batch_size=None).to_pandas()  # one row/block
+    avgdl = float(st["sum_dl"].sum()) / n_docs
+    idf = {
+        t: float(np.log(1 + (n_docs - st[f"df_{i}"].sum() + 0.5)
+                        / (st[f"df_{i}"].sum() + 0.5)))
+        for i, t in enumerate(terms)
+    }
+
+    def score_top(df: pd.DataFrame) -> pd.DataFrame:
+        if "score" not in df.columns:
+            low = df["text"].str.lower()
+            dl = low.str.count("[a-z0-9]+").to_numpy(np.float64)
+            score = np.zeros(len(df))
+            hit = np.zeros(len(df), dtype=bool)
+            for t in terms:
+                tf = low.str.count(pat(t)).to_numpy(np.float64)
+                hit |= tf > 0
+                score += idf[t] * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * dl / avgdl))
+            df = pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "score": np.round(score, 6),
+            })[hit]
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="stable")
+        return df.head(k)
+
+    return docs.map_batches(
+        score_top, batch_format="pandas", batch_size=None
+    ).repartition(1).map_batches(
+        score_top, batch_format="pandas", batch_size=None)

@@ -901,3 +901,62 @@ class TestTermStats:
         assert got.loc["fish", "df_cnt"] == 2
         assert "dogs" not in got.index  # min_df filter
         assert abs(got.loc["cat", "idf"] - round(np.log(6 / 2), 6)) < 1e-9
+
+
+class TestBM25:
+    def test_bm25_matches_reference(self, ray_session, tmp_path):
+        """Independent dense BM25 reference (explicit loops) vs the
+        two-pass distributed implementation."""
+        import math
+        import re
+
+        from kit_ray.pipelines.dataops import bm25_search
+
+        texts = [
+            "hash join hash join stream",
+            "the quick stream",
+            "nothing relevant here",
+            "join",
+            "hash hash hash hash hash",
+            "stream stream join hash",
+        ]
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": np.zeros(len(texts), dtype="int64"),
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+
+        terms = ["hash", "join", "stream"]
+        toks = [
+            [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for t in texts
+        ]
+        n = len(texts)
+        avgdl = sum(len(t) for t in toks) / n
+        k1, b = 1.2, 0.75
+        want = {}
+        for i, tk in enumerate(toks):
+            s = 0.0
+            for term in terms:
+                tf = tk.count(term)
+                if tf == 0:
+                    continue
+                dfc = sum(1 for t2 in toks if term in t2)
+                idf = math.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(tk) / avgdl))
+            if s > 0:
+                want[i] = round(s, 6)
+
+        got = bm25_search(str(sf), k=10).to_pandas()
+        assert set(got["doc_id"]) == set(want)
+        for _, r in got.iterrows():
+            assert abs(r["score"] - want[r["doc_id"]]) < 1e-9
+        # ordering: rounded score desc, doc_id asc
+        key = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got["doc_id"].tolist() == [d for d, _ in key]
