@@ -1717,10 +1717,15 @@ def approx_quantiles_by_type(sf_dir: str, max_centroids: int = 256):
         return pd.DataFrame(
             rows, columns=["event_type", "q1", "median", "q3"])
 
-    return ev.map_batches(
-        sketch, batch_format="pandas"
-    ).repartition(1).map_batches(merge, batch_format="pandas",
-                                 batch_size=None)
+    partials = ev.map_batches(sketch, batch_format="pandas")
+    # Keyed shuffle of the per-(block, group) sketches: each group's
+    # centroids land in one block, so the merge is in-block and the
+    # op never funnels through a single block — at 10^6 groups the
+    # repartition(1) alternative would collect blocks x groups sketch
+    # rows in one place.
+    return hash_partition(
+        partials, ["event_type"], nparts=min(_par(), 8)
+    ).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 _HLL_P = 12  # 4096 registers; standard error 1.04/sqrt(4096) ~ 1.6%
@@ -1800,10 +1805,13 @@ def approx_distinct_users_per_type(sf_dir: str):
             rows.append((et, int(round(_hll_estimate(sk)))))
         return pd.DataFrame(rows, columns=["event_type", "approx_users"])
 
-    return ev.map_batches(
-        sketch, batch_format="pandas"
-    ).repartition(1).map_batches(merge, batch_format="pandas",
-                                 batch_size=None)
+    partials = ev.map_batches(sketch, batch_format="pandas")
+    # Keyed shuffle, same rationale as approx_quantiles_by_type: the
+    # 4 KiB-per-(block, group) sketches merge in-block per group — no
+    # single-block funnel at high group cardinality.
+    return hash_partition(
+        partials, ["event_type"], nparts=min(_par(), 8)
+    ).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 _SPLIT_MULT = 2654435761  # Knuth multiplicative constant
@@ -1837,8 +1845,10 @@ def sample_events_per_type(sf_dir: str, n: int = 5):
 
     Scale shape: per-block partial top-n-by-hash per group (the
     top_revenue_items combiner), so each block contributes at most
-    n x |types| rows; the tiny union coalesces to one block for the
-    final top-n. No full shuffle, no sort of the corpus."""
+    n x |types| rows; the partials then merge under a GROUP-KEYED
+    hash shuffle (each group's candidates land in one block for the
+    final in-block top-n) — no single-block funnel at high group
+    cardinality, no full shuffle or sort of the corpus."""
     ev = _read(sf_dir, "events", ["event_id", "event_type", "user_id"],
                split=True)
 
@@ -1849,9 +1859,10 @@ def sample_events_per_type(sf_dir: str, n: int = 5):
         df = df.sort_values(["event_type", "h", "event_id"], kind="stable")
         return df.groupby("event_type", sort=False).head(n)
 
-    return ev.map_batches(
-        partial, batch_format="pandas"
-    ).repartition(1).map_batches(
+    partials = ev.map_batches(partial, batch_format="pandas")
+    return hash_partition(
+        partials, ["event_type"], nparts=min(_par(), 8)
+    ).map_batches(
         partial, batch_format="pandas", batch_size=None
     ).drop_columns(["h"])
 
