@@ -960,3 +960,23 @@ class TestBM25:
         # ordering: rounded score desc, doc_id asc
         key = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got["doc_id"].tolist() == [d for d, _ in key]
+
+
+class TestReadBoundaryClean:
+    def test_read_strips_file_schema_metadata(self, ray_session, tmp_path):
+        """Pandas-written parquet carries b'pandas' footer metadata that
+        makes pa.Schema unhashable in shuffles; _read must strip it."""
+        from kit_ray.pipelines.dataops import _read
+
+        df = pd.DataFrame({"doc_id": np.arange(10, dtype="int64"),
+                           "text": ["x"] * 10})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")  # pandas writer: metadata
+        import pyarrow.parquet as pq
+        assert pq.read_schema(sf / "documents.parquet").metadata  # precondition
+
+        ds = _read(str(sf), "documents")
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            assert not b.schema.metadata
+            hash(b.schema)  # must be hashable for shuffle schema dedup
