@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": Q.top_terms,
         "term_doc_freq": Q.term_doc_freq,
         "bm25_search": Q.bm25_search,
+        "tfidf_top_terms": Q.tfidf_top_terms,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -694,6 +695,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE term <> '' GROUP BY term
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "tfidf_top_terms": """
+            WITH n AS (SELECT count(*) AS n_docs FROM documents),
+            tok AS (
+                SELECT doc_id, unnest(string_split_regex(
+                    lower(text), '[^a-z0-9]+')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok WHERE term <> '' GROUP BY doc_id, term),
+            dft AS (
+                SELECT term, count(*) AS dfc
+                FROM (SELECT DISTINCT doc_id, term
+                      FROM tok WHERE term <> '')
+                GROUP BY term),
+            sc AS (
+                SELECT f.doc_id, f.term,
+                       round(f.tf * ln(
+                           CAST((SELECT n_docs FROM n) AS DOUBLE) / d.dfc
+                       ), 6) AS score
+                FROM tf f JOIN dft d USING (term))
+            SELECT doc_id, term, score FROM sc
+            WHERE score > 0
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) <= 3
         """,
         "bm25_search": """
             WITH tok AS (

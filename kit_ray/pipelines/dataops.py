@@ -2014,3 +2014,41 @@ def bm25_search(sf_dir: str, query: str = "hash join stream", k: int = 10,
         score_top, batch_format="pandas", batch_size=None
     ).repartition(1).map_batches(
         score_top, batch_format="pandas", batch_size=None)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
+    """Per-document top-k TF-IDF terms — the per-doc half of the
+    TF-IDF pipeline (term_doc_freq is the corpus half). Scale shape:
+    the DF table (vocab-bounded, min_df-truncated at scale) is built
+    by the term_doc_freq machinery and BROADCAST as an idf lookup;
+    scoring is then embarrassingly parallel — explode terms in-block,
+    map idf, per-doc top-k in-block (a doc's text lives in one row,
+    so its term counts never cross blocks). No corpus shuffle.
+
+    Score = tf * ln(N/df), rounded to 6dp BEFORE the top-k cut so the
+    (score DESC, term ASC) order ties identically in the SQL oracle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+    n_docs = _table_rows(sf_dir, "documents")
+    dft = term_doc_freq(sf_dir, min_df=min_df).to_pandas()  # vocab-bounded
+    idf_ref = ray.put(dict(zip(
+        dft["term"], np.log(float(n_docs) / dft["df_cnt"].to_numpy()))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf = ray.get(idf_ref)
+        t = _explode_terms(df)
+        tf = (t.groupby(["doc_id", "term"], sort=False).size()
+              .rename("tf").reset_index())
+        tf["score"] = np.round(
+            tf["tf"].to_numpy(np.float64)
+            * tf["term"].map(idf).fillna(0.0).to_numpy(np.float64), 6)
+        tf = tf[tf["score"] > 0]
+        tf = tf.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        out = tf.groupby("doc_id", sort=False).head(k)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "term": out["term"],
+            "score": out["score"],
+        })
+
+    return docs.map_batches(score, batch_format="pandas")

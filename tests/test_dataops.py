@@ -980,3 +980,55 @@ class TestReadBoundaryClean:
         for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
             assert not b.schema.metadata
             hash(b.schema)  # must be hashable for shuffle schema dedup
+
+
+class TestTfidfTopTerms:
+    def test_tfidf_matches_reference(self, ray_session, tmp_path):
+        import math
+        import re
+        from collections import Counter
+
+        from kit_ray.pipelines.dataops import tfidf_top_terms
+
+        texts = [
+            "apple apple banana cherry",
+            "banana cherry cherry date",
+            "apple date date date",
+            "everyword everyword",
+        ]
+        # 'date' appears in 2 docs; every doc has distinct profiles
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": np.zeros(len(texts), dtype="int64"),
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+
+        toks = [
+            [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for t in texts
+        ]
+        n = len(texts)
+        dfc = Counter()
+        for tk in toks:
+            dfc.update(set(tk))
+        want = {}
+        for i, tk in enumerate(toks):
+            scores = []
+            for term, tf in Counter(tk).items():
+                s = round(tf * math.log(n / dfc[term]), 6)
+                if s > 0:
+                    scores.append((term, s))
+            scores.sort(key=lambda kv: (-kv[1], kv[0]))
+            want[i] = scores[:3]
+
+        got = tfidf_top_terms(str(sf), k=3).to_pandas()
+        for i, pairs in want.items():
+            g = got[got["doc_id"] == i]
+            gp = list(zip(g["term"], g["score"]))
+            # order within doc: score desc, term asc (already sorted)
+            assert gp == pairs, (i, gp, pairs)
