@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": Q.term_doc_freq,
         "bm25_search": Q.bm25_search,
         "tfidf_top_terms": Q.tfidf_top_terms,
+        "top_bigrams": Q.top_bigrams,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -695,6 +696,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE term <> '' GROUP BY term
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "top_bigrams": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            bg AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM tok WHERE len(toks) >= 2)
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+            FROM bg GROUP BY bigram
+            ORDER BY cnt DESC, bigram LIMIT 30
         """,
         "tfidf_top_terms": """
             WITH n AS (SELECT count(*) AS n_docs FROM documents),

@@ -2052,3 +2052,37 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
         })
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def top_bigrams(sf_dir: str, k: int = 30):
+    """Global top-k bigram frequency — n-gram extension of top_terms.
+    Vectorized pairing: explode tokens (doc order preserved), shift by
+    -1 within each doc, join adjacent pairs — no per-row Python loop.
+    Same scale shape as top_terms: per-block bigram-count partials,
+    ONE keyed shuffle of partials, block top-k + tiny merge."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _explode_terms(df)  # (doc_id, term), document order
+        nxt = t.groupby("doc_id", sort=False)["term"].shift(-1)
+        mask = nxt.notna()
+        bg = t.loc[mask, "term"] + " " + nxt[mask]
+        vc = bg.value_counts()
+        return pd.DataFrame({"bigram": vc.index, "cnt": vc.to_numpy()})
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", sort=False)["cnt"].sum().reset_index()
+        g = g.sort_values(["cnt", "bigram"], ascending=[False, True],
+                          kind="stable")
+        return g.head(k)
+
+    partials = docs.map_batches(partial, batch_format="pandas",
+                                batch_size=None)
+    exact = hash_partition(partials, ["bigram"], nparts=min(_par(), 8))
+    return exact.map_batches(
+        top, batch_format="pandas", batch_size=None
+    ).repartition(1).map_batches(
+        top, batch_format="pandas", batch_size=None
+    ).map_batches(
+        lambda df: df.assign(cnt=df["cnt"].astype("int64")),
+        batch_format="pandas")

@@ -1032,3 +1032,38 @@ class TestTfidfTopTerms:
             gp = list(zip(g["term"], g["score"]))
             # order within doc: score desc, term asc (already sorted)
             assert gp == pairs, (i, gp, pairs)
+
+
+class TestTopBigrams:
+    def test_bigrams_match_reference(self, ray_session, tmp_path):
+        import re
+        from collections import Counter
+
+        from kit_ray.pipelines.dataops import top_bigrams
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat ate",
+            "one",          # single token: no bigram
+            "",             # empty
+            "cat sat, cat sat",  # punctuation does not pair across it? it does: tokens are cat sat cat sat
+        ]
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": np.zeros(len(texts), dtype="int64"),
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+
+        c = Counter()
+        for t in texts:
+            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+        got = top_bigrams(str(sf), k=10).to_pandas()
+        assert list(zip(got["bigram"], got["cnt"])) == want
