@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": Q.bm25_search,
         "tfidf_top_terms": Q.tfidf_top_terms,
         "top_bigrams": Q.top_bigrams,
+        "weighted_sample_events": Q.weighted_sample_events,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -696,6 +697,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE term <> '' GROUP BY term
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "weighted_sample_events": """
+            SELECT event_id, event_type, value FROM (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ln(
+                               (((event_id * 2654435761) % 4294967296)
+                                + 0.5) / 4294967296.0) / value DESC,
+                               event_id) AS rn
+                FROM events WHERE value > 0)
+            WHERE rn <= 5
         """,
         "top_bigrams": """
             WITH tok AS (

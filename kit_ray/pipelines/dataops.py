@@ -2086,3 +2086,38 @@ def top_bigrams(sf_dir: str, k: int = 30):
     ).map_batches(
         lambda df: df.assign(cnt=df["cnt"].astype("int64")),
         batch_format="pandas")
+
+
+def weighted_sample_events(sf_dir: str, n: int = 5):
+    """Deterministic WEIGHTED per-group sampling (Efraimidis-Spirakis
+    A-ES): each event draws key = u^(1/w) with w = value and u a
+    uniform derived from a multiplicative hash of event_id; the n
+    largest keys per event_type are a weighted sample without
+    replacement — reproducible across engines because u is pure
+    integer arithmetic (the SQL oracle computes the identical
+    expression; comparisons use ln(u)/w, monotone in the key).
+
+    Scale shape: same as sample_events_per_type — per-block partial
+    top-n per group, group-keyed shuffle of the partials, in-block
+    final top-n. No corpus sort, no single-block funnel."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"],
+               split=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "lnkey" not in df.columns:
+            df = df[df["value"] > 0]
+            h = (df["event_id"].to_numpy(np.uint64)
+                 * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32)
+            u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+            df = df.assign(
+                lnkey=np.log(u) / df["value"].to_numpy(np.float64))
+        df = df.sort_values(["event_type", "lnkey", "event_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("event_type", sort=False).head(n)
+
+    partials = ev.map_batches(partial, batch_format="pandas")
+    return hash_partition(
+        partials, ["event_type"], nparts=min(_par(), 8)
+    ).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).drop_columns(["lnkey"])

@@ -1067,3 +1067,63 @@ class TestTopBigrams:
 
         got = top_bigrams(str(sf), k=10).to_pandas()
         assert list(zip(got["bigram"], got["cnt"])) == want
+
+
+class TestWeightedSample:
+    def test_weighted_sample_matches_reference(self, ray_session, tmp_path):
+        import math
+
+        from kit_ray.pipelines.dataops import (_SPLIT_MULT,
+                                               weighted_sample_events)
+
+        rng = np.random.default_rng(7)
+        m = 3000
+        df = pd.DataFrame({
+            "event_id": np.arange(m, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.zeros(m, dtype="int64"),
+            "event_type": rng.choice(["a", "b", "c"], m),
+            "value": rng.exponential(5, m),
+            "props": [""] * m,
+        })
+        df.loc[0, "value"] = 0.0  # excluded by w > 0
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+
+        # dense reference: ln(u)/w, top-5 per group
+        ref = df[df["value"] > 0].copy()
+        h = (ref["event_id"].to_numpy(np.uint64)
+             * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32)
+        ref["lnkey"] = np.log((h.astype(np.float64) + 0.5) / 2**32) \
+            / ref["value"].to_numpy(np.float64)
+        ref = ref.sort_values(["event_type", "lnkey", "event_id"],
+                              ascending=[True, False, True])
+        want = ref.groupby("event_type").head(5)
+
+        got = weighted_sample_events(str(sf)).to_pandas()
+        assert len(got) == len(want)
+        assert set(got["event_id"]) == set(want["event_id"])
+        assert 0 not in set(got["event_id"])
+
+    def test_weighted_sample_favors_heavy_weights(self, ray_session,
+                                                  tmp_path):
+        """A huge-weight item should (deterministically, via the E-S
+        key) appear in the sample: u^(1/w) -> 1 as w -> inf."""
+        from kit_ray.pipelines.dataops import weighted_sample_events
+
+        m = 500
+        df = pd.DataFrame({
+            "event_id": np.arange(m, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.zeros(m, dtype="int64"),
+            "event_type": ["x"] * m,
+            "value": np.ones(m) * 0.001,
+            "props": [""] * m,
+        })
+        df.loc[42, "value"] = 1e9
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        got = weighted_sample_events(str(sf)).to_pandas()
+        assert 42 in set(got["event_id"])
