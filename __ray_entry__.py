@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": Q.tfidf_top_terms,
         "top_bigrams": Q.top_bigrams,
         "weighted_sample_events": Q.weighted_sample_events,
+        "customer_order_counts": Q.customer_order_counts,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -697,6 +698,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE term <> '' GROUP BY term
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
         """,
         "weighted_sample_events": """
             SELECT event_id, event_type, value FROM (

@@ -2121,3 +2121,43 @@ def weighted_sample_events(sf_dir: str, n: int = 5):
     ).map_batches(
         partial, batch_format="pandas", batch_size=None
     ).drop_columns(["lnkey"])
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join: every customer with their order count,
+    zero-order customers included at 0 — the outer-join member of the
+    join family (inner/broadcast/anti/as-of/interval live elsewhere in
+    this module). Scale shape: orders pre-aggregate to one (custkey,
+    n) row per block (combiner) -> keyed shuffle for exact per-key
+    counts -> distributed left_outer hash join against the customer
+    dim; the join moves one row per DISTINCT custkey, never one per
+    order."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"], split=True)
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False).size()
+                .rename("n").reset_index())
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False)["n"].sum()
+                .reset_index())
+
+    counts = hash_partition(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], nparts=_join_parts(),
+    ).map_batches(exact, batch_format="pandas", batch_size=None)
+
+    joined = cust.join(
+        counts, join_type="left_outer", num_partitions=_join_parts(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "c_name": df["c_name"],
+            "n_orders": df["n"].fillna(0).astype("int64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")

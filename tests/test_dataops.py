@@ -1127,3 +1127,25 @@ class TestWeightedSample:
         df.to_parquet(sf / "events.parquet")
         got = weighted_sample_events(str(sf)).to_pandas()
         assert 42 in set(got["event_id"])
+
+
+class TestLeftOuterJoin:
+    def test_customer_order_counts(self, ray_session, tmp_path):
+        from kit_ray.pipelines.dataops import customer_order_counts
+
+        cust = pd.DataFrame({
+            "c_custkey": np.array([1, 2, 3, 4], dtype="int64"),
+            "c_name": ["a", "b", "c", "d"],
+        })
+        orders = pd.DataFrame({
+            "o_custkey": np.array([1, 1, 3, 1], dtype="int64"),
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        cust.to_parquet(sf / "customer.parquet")
+        orders.to_parquet(sf / "orders.parquet")
+
+        got = customer_order_counts(str(sf)).to_pandas() \
+            .sort_values("c_custkey").reset_index(drop=True)
+        assert got["n_orders"].tolist() == [3, 0, 1, 0]
+        assert got["c_name"].tolist() == ["a", "b", "c", "d"]
