@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": Q.top_bigrams,
         "weighted_sample_events": Q.weighted_sample_events,
         "customer_order_counts": Q.customer_order_counts,
+        "prepare_training_corpus": Q.prepare_training_corpus,
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
@@ -698,6 +699,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE term <> '' GROUP BY term
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "prepare_training_corpus": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       len(list_filter(string_split_regex(
+                           lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS n_tok
+                FROM documents WHERE lang = 'en'),
+            filt AS (SELECT * FROM base WHERE n_tok >= 10),
+            ded AS (
+                SELECT * FROM filt
+                QUALIFY row_number() OVER (
+                    PARTITION BY text ORDER BY doc_id) = 1)
+            SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296)
+                             % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM ded GROUP BY 1
         """,
         "customer_order_counts": """
             SELECT c.c_custkey, c.c_name,

@@ -2161,3 +2161,50 @@ def customer_order_counts(sf_dir: str):
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def prepare_training_corpus(sf_dir: str, lang: str = "en",
+                            min_tokens: int = 10, train_pct: int = 80):
+    """The composite training-data-prep pipeline this engine exists
+    for, end to end in one streaming plan: language filter -> quality
+    (length) filter -> exact dedup (first doc per text) -> reproducible
+    train/test split -> per-split corpus stats. Every stage reuses the
+    module's scale shapes: read-pruned columns, vectorized in-block
+    filters (no shuffle), sort-based dedup (the one keyed exchange),
+    hash-arithmetic split (shuffle-free), partial-count final
+    aggregate. A 100-TB corpus flows through exactly one all-to-all."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 split=True)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"] == lang]
+        n_tok = df["text"].str.lower().str.count("[a-z0-9]+")
+        df = df.assign(n_tok=n_tok.astype("int64"))
+        df = df[df["n_tok"] >= min_tokens]
+        out = df[["doc_id", "text", "n_tok"]].copy()
+        out["h"] = D.content_hash(out["text"])
+        return out
+
+    ded = sorted_dedup(docs.map_batches(filt, batch_format="pandas"),
+                       ["h", "doc_id"], ["h", "text"])
+
+    def split_stats(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy(np.uint64)
+             * np.uint64(_SPLIT_MULT)) % np.uint64(1 << 32)
+        split = np.where((h % 100) < train_pct, "train", "test")
+        g = (df.assign(split=split)
+             .groupby("split", sort=False)["n_tok"]
+             .agg(["count", "sum"]).reset_index())
+        return g.rename(columns={"count": "n_docs", "sum": "total_tokens"})
+
+    out = ded.map_batches(split_stats, batch_format="pandas").groupby(
+        "split"
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return out

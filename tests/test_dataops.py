@@ -1149,3 +1149,56 @@ class TestLeftOuterJoin:
             .sort_values("c_custkey").reset_index(drop=True)
         assert got["n_orders"].tolist() == [3, 0, 1, 0]
         assert got["c_name"].tolist() == ["a", "b", "c", "d"]
+
+
+class TestPrepareTrainingCorpus:
+    def test_composite_pipeline_reference(self, ray_session, tmp_path):
+        import re
+
+        from kit_ray.pipelines.dataops import (_SPLIT_MULT,
+                                               prepare_training_corpus)
+
+        long_en = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = pd.DataFrame({
+            "doc_id": np.arange(6, dtype="int64"),
+            "text": [
+                long_en,                 # kept (train/test by hash)
+                long_en,                 # exact dup of 0 -> dropped
+                "short text",            # < 10 tokens -> dropped
+                long_en + " extra",      # kept
+                long_en + " more",       # kept
+                long_en + " autre",      # lang fr -> dropped
+            ],
+            "lang": ["en", "en", "en", "en", "en", "fr"],
+            "source": ["s"] * 6,
+            "n_chars": np.zeros(6, dtype="int64"),
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+
+        got = prepare_training_corpus(str(sf)).set_index("split")
+
+        # independent reference
+        kept = {}
+        for _, r in df.iterrows():
+            if r["lang"] != "en":
+                continue
+            toks = [w for w in re.split(r"[^a-z0-9]+", r["text"].lower())
+                    if w]
+            if len(toks) < 10:
+                continue
+            if r["text"] not in kept:
+                kept[r["text"]] = (r["doc_id"], len(toks))
+        want = {"train": [0, 0], "test": [0, 0]}
+        for doc_id, ntok in kept.values():
+            h = (np.uint64(doc_id) * np.uint64(_SPLIT_MULT)) % np.uint64(2**32)
+            s = "train" if int(h) % 100 < 80 else "test"
+            want[s][0] += 1
+            want[s][1] += ntok
+        for s, (nd, tt) in want.items():
+            if nd == 0:
+                assert s not in got.index
+            else:
+                assert got.loc[s, "n_docs"] == nd
+                assert got.loc[s, "total_tokens"] == tt
