@@ -546,12 +546,25 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts, event_id) = 1
         """,
         "asof_purchase_attribution": """
-            SELECT p.event_id AS purchase_id, p.user_id AS user_id,
-                   p.ts AS purchase_ts, v.event_id AS view_id,
-                   round(epoch(p.ts - v.ts), 3) AS lag_s
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-              ON p.user_id = v.user_id AND p.ts >= v.ts
+            -- ASOF JOIN semantics with a PINNED tie-break (latest
+            -- view ts; max view event_id among equal ts) and exact
+            -- integer-microsecond half-away rounding: deltas are
+            -- non-negative so (us + 500) // 1000 is round-half-away,
+            -- bit-identical to the Ray side's integer expression.
+            SELECT purchase_id, user_id, purchase_ts, view_id, lag_s
+            FROM (
+                SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                       p.ts AS purchase_ts, v.event_id AS view_id,
+                       ((epoch_us(p.ts - v.ts) + 500) // 1000) / 1000.0
+                           AS lag_s,
+                       row_number() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                FROM (SELECT * FROM events
+                      WHERE event_type = 'purchase') p
+                JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                  ON p.user_id = v.user_id AND v.ts <= p.ts)
+            WHERE rn = 1
         """,
         "user_running_value": """
             SELECT event_id, user_id,
@@ -589,7 +602,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_event_gaps": """
             SELECT event_id, user_id, prev_event_id,
-                   round(epoch(ts - prev_ts), 3) AS gap_s
+                   ((epoch_us(ts - prev_ts) + 500) // 1000) / 1000.0
+                       AS gap_s
             FROM (
                 SELECT event_id, user_id, ts,
                        lag(event_id) OVER w AS prev_event_id,
@@ -618,7 +632,8 @@ def oracle_sql() -> dict[str, str]:
         "purchase_context_events": """
             SELECT p.event_id AS purchase_id, p.user_id AS user_id,
                    e.event_id AS ctx_event_id, e.event_type AS ctx_type,
-                   round(epoch(p.ts - e.ts), 3) AS lead_s
+                   ((epoch_us(p.ts - e.ts) + 500) // 1000) / 1000.0
+                       AS lead_s
             FROM events p JOIN events e
               ON e.user_id = p.user_id
              AND e.ts >= p.ts - INTERVAL 1 HOUR

@@ -223,6 +223,28 @@ def politeness_ticks_sorted(ds, budget_per_host: int | None = None):
     return sorted_ds.map_batches(ticks, batch_format="pandas", batch_size=None)
 
 
+# Target bytes per hash-shuffle partition of schedule metadata: one
+# partition must fit a worker heap with pandas expansion headroom
+# (~3-4x Arrow bytes). 256 MB Arrow -> ~1 GB peak per schedule task.
+SCHEDULE_PARTITION_BYTES = 256 * 1024 * 1024
+
+
+def schedule_parts(size_bytes: int | None, par: int) -> int:
+    """Schedule-shuffle width sized by DATA, floored by parallelism:
+    small inputs keep min(par, 16) partitions (pure parallelism — the
+    r3 constant, so small-scale timings are unchanged); large inputs
+    grow so no host-complete partition exceeds
+    ``SCHEDULE_PARTITION_BYTES`` regardless of cluster size (a fixed
+    16 made one partition hold 1/16th of a 10^10-URL schedule — a
+    worker-heap blowout). The map side materializes first, so the size
+    is measured, not guessed (the Spark-AQE shape)."""
+    floor = max(2, min(par, 16))
+    if not size_bytes or size_bytes <= 0:
+        return floor
+    by_bytes = -(-int(size_bytes) // SCHEDULE_PARTITION_BYTES)
+    return max(floor, by_bytes)
+
+
 def hash_partition_by_host(ds, nparts: int):
     """Hash-partition ``ds`` into ``nparts`` host-complete blocks via
     Ray's keyed repartition (requires the HASH_SHUFFLE strategy, flipped
@@ -431,9 +453,13 @@ def crawl(
         # its host, so host-complete partitions make BOTH the URL-seen
         # dedup and the politeness cumcount exact per block — one
         # shuffle, no global range sorts, no driver offset metadata.
-        nparts = max(2, min(par, 16))  # cluster scale: size by data so
-        # a partition (one host-group of schedule metadata) fits a
-        # worker's heap; the guard below catches any violation.
+        # Materialize the parsed entries FIRST (they're schedule
+        # metadata, ~200 B/row — tiny next to payloads) so the shuffle
+        # width is sized by measured bytes; the blocks are pinned for
+        # the repartition anyway, and the split-block guard below
+        # catches any partition that still splits.
+        parsed = parsed.materialize()
+        nparts = schedule_parts(parsed.size_bytes(), par)
         if policy_mode == "partitioned":
             # Hash-co-locate entries with their host's policy row: the
             # join partitions BOTH sides by hash(host), so each output

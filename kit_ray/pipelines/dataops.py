@@ -111,28 +111,38 @@ def _rename_clean(mapping: dict):
     return f
 
 
-def sorted_dedup(ds, sort_keys, subset, coalesce=(8, 1)):
-    """First-row-per-key, fully vectorized: global range-sort on
-    ``sort_keys`` makes each key contiguous, a per-block
-    ``drop_duplicates(keep="first")`` on ``subset`` keeps the first row
-    per key per block, and order-preserving ``repartition`` rounds merge
-    formerly-adjacent blocks so boundary duplicates collapse (the
-    machinery of crawl.dedup_first_sorted, generalized). Never uses
-    ``groupby().map_groups`` — ~1 ms/group is fatal with ~one group per
-    row. The final coalesce must end at one block per key-range; at
-    cluster scale use e.g. ``(64, 8, 1)`` ranges."""
+def sorted_dedup(ds, sort_keys, subset, coalesce=None, nparts=None):
+    """First-row-per-key with NO single-block funnel and NO global
+    sort: ONE keyed hash repartition on the partitionable subset
+    columns co-locates every key's rows in exactly one block, so an
+    in-block ``sort_values(order) + drop_duplicates(subset,
+    keep="first")`` is globally exact — the kept row is the min-order
+    row per key. (An earlier version range-sorted then coalesced
+    through ``repartition(1)``; at 100 TB that funnels the whole
+    deduped corpus through one worker. The hash form is one all-to-all
+    with per-block parallel finish — the minimum any exact dedup
+    pays.)
+
+    ``sort_keys`` keeps the historical signature: columns in
+    ``sort_keys`` but not in ``subset`` are the tie-break order
+    (which duplicate wins); partition columns are
+    ``subset ∩ sort_keys`` (equal-subset rows always agree on them,
+    so one hash shuffle co-locates each dup group even when
+    ``subset`` contains unsortable payloads like full text).
+    ``coalesce`` is accepted for call-site compatibility and ignored.
+    Never uses ``groupby().map_groups`` — ~1 ms/group is fatal with
+    ~one group per row."""
+    part_cols = [c for c in sort_keys if c in subset]
+    order_cols = [c for c in sort_keys if c not in subset]
+    assert part_cols, "subset must share at least one column with sort_keys"
+    ds = hash_partition(ds, part_cols, nparts or _join_parts())
 
     def drop(df: pd.DataFrame) -> pd.DataFrame:
+        if order_cols:
+            df = df.sort_values(order_cols, kind="stable")
         return df.drop_duplicates(subset=subset, keep="first")
 
-    ds = ds.sort(sort_keys).map_batches(
-        drop, batch_format="pandas", batch_size=None
-    )
-    for n in coalesce:
-        ds = ds.repartition(n).map_batches(
-            drop, batch_format="pandas", batch_size=None
-        )
-    return ds
+    return ds.map_batches(drop, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -140,29 +150,46 @@ def sorted_dedup(ds, sort_keys, subset, coalesce=(8, 1)):
 # ---------------------------------------------------------------------------
 
 def token_counts(sf_dir: str):
-    """doc_id, text_len, n_tokens (whitespace), n_bpeish (BPE-ish regex)."""
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["doc_id"]].copy()
-        out["text_len"] = df["text"].str.len().astype("int64")
-        out["n_tokens"] = T.whitespace_token_count(df["text"])
-        out["n_bpeish"] = T.bpeish_token_count(df["text"])
-        return out
+    """doc_id, text_len, n_tokens (whitespace), n_bpeish (BPE-ish regex).
+
+    Arrow-native: ``pyarrow.compute`` regex kernels straight over the
+    zero-copy read batch — no pandas hop in either direction, and the
+    RE2 engine matches the DuckDB oracle's (both RE2; Python ``re``'s
+    unicode classes only coincide on ASCII corpora)."""
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_len": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            "n_bpeish": pc.cast(
+                pc.count_substring_regex(text, T.BPEISH_RE.pattern),
+                pa.int64()),
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+        fn, batch_format="pyarrow"
     )
 
 
 def char_class_counts(sf_dir: str):
-    """doc_id, punct_cnt, digit_cnt — integer counts (exact vs SQL)."""
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["doc_id"]].copy()
-        out["punct_cnt"] = df["text"].str.count(T.PUNCT_RE).astype("int64")
-        out["digit_cnt"] = df["text"].str.count(T.DIGIT_RE).astype("int64")
-        return out
+    """doc_id, punct_cnt, digit_cnt — integer counts (exact vs SQL).
+    Arrow-native regex count kernels (see token_counts)."""
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "punct_cnt": pc.cast(
+                pc.count_substring_regex(text, T.PUNCT_RE.pattern),
+                pa.int64()),
+            "digit_cnt": pc.cast(
+                pc.count_substring_regex(text, T.DIGIT_RE.pattern),
+                pa.int64()),
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+        fn, batch_format="pyarrow"
     )
 
 
@@ -227,6 +254,62 @@ def dedup_exact(sf_dir: str):
     )
 
 
+def _copartition_attach(pairs, docs, key_col, carry, text_out, nparts,
+                        dedup_carry=None):
+    """Attach each pair's document text via ONE keyed exchange: tag-union
+    the pair rows with the (doc_id, text) rows, hash-partition on the
+    shared key, and merge in-block — key-complete blocks make both the
+    merge and the optional candidate dedup exact. Replaces a
+    ``Dataset.join`` whose per-partition aggregator fleet is pure fixed
+    cost at candidate-pair row counts, and folds the band-duplicate
+    collapse into the SAME exchange (all (key, *) rows co-locate, so
+    dropping duplicates on key+``dedup_carry`` in-block is complete) —
+    two exchanges total for dedup + both text sides instead of three.
+
+    ``carry``: [(name, pyarrow type)] pair columns to thread through.
+    ``dedup_carry``: carry columns that, with ``key_col``, identify a
+    candidate (enables the in-exchange dedup); None disables it."""
+    carry_names = [n for n, _ in carry]
+    schema = pa.schema(
+        [pa.field("__key", pa.int64()), pa.field("__text", pa.string()),
+         pa.field("__is_doc", pa.bool_())]
+        + [pa.field(n, t) for n, t in carry])
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[key_col].cast(pa.int64()),
+                "__text": pa.nulls(len(t), pa.string()),
+                "__is_doc": pa.array(np.zeros(len(t), dtype=bool))}
+        for n, ty in carry:
+            cols[n] = t[n].cast(ty)
+        return pa.table(cols, schema=schema)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        cols = {"__key": t["doc_id"].cast(pa.int64()),
+                "__text": t["text"].cast(pa.string()),
+                "__is_doc": pa.array(np.ones(len(t), dtype=bool))}
+        for n, ty in carry:
+            cols[n] = pa.nulls(len(t), ty)
+        return pa.table(cols, schema=schema)
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        docs.map_batches(tag_docs, batch_format="pyarrow"))
+    parts = hash_partition(tagged, ["__key"], nparts)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["__is_doc"].to_numpy(bool)
+        p = df[~is_doc]
+        d = df[is_doc]
+        if dedup_carry is not None and len(p):
+            p = p.drop_duplicates(subset=["__key"] + list(dedup_carry))
+        m = p.merge(
+            d[["__key", "__text"]].rename(columns={"__text": text_out}),
+            on="__key", how="inner")
+        out = m.rename(columns={"__key": key_col})
+        return out[[key_col] + carry_names + [text_out]]
+
+    return parts.map_batches(merge, batch_format="pandas", batch_size=None)
+
+
 def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
                       num_partitions: int | None = None):
     """MinHash+LSH near-dup, fully partitioned end to end (no driver
@@ -238,12 +321,12 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
       2. candidate pairs via a hash-partitioned SELF-JOIN on
          (band, band_key) — buckets are tiny by construction, so the
          per-bucket cross product is bounded;
-      3. multi-band duplicate candidates collapsed by sort-based dedup
-         (sorted_dedup — no per-group map_groups, no repartition(1) of
-         raw data);
-      4. Jaccard verify via two co-partitioned hash joins keyed by
-         doc_id that bring each pair's texts to the pair's partition —
-         no broadcast id->text map.
+      3. TWO keyed exchanges finish the query (_copartition_attach):
+         the first hash-partitions candidates by doc_id_a together
+         with the doc texts — a-complete blocks collapse multi-band
+         duplicate candidates AND attach text_a in the same exchange;
+         the second does text_b by doc_id_b. No broadcast id->text
+         map, no separate dedup shuffle, no join aggregator fleets.
 
     Returns the verified pair Dataset (doc_id_a < doc_id_b, jaccard
     rounded to 6dp)."""
@@ -260,7 +343,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
     banded = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(max(1, par // 4), max(2, (3 * par) // 4)),
     ).materialize()  # small int rows (bands per doc); reused twice below
 
@@ -277,29 +360,22 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
 
     def keep_lt(df: pd.DataFrame) -> pd.DataFrame:
         out = df.loc[df["doc_id_a"] < df["doc_id_b"], ["doc_id_a", "doc_id_b"]]
+        # Partial dedup: same-block repeats collapse here; cross-block
+        # (multi-band) repeats collapse exactly inside the first
+        # attach exchange below.
+        out = out.drop_duplicates()
         return out.astype({"doc_id_a": "int64", "doc_id_b": "int64"})
 
     cands = joined.map_batches(keep_lt, batch_format="pandas")
-    cands = sorted_dedup(
-        cands, ["doc_id_a", "doc_id_b"], ["doc_id_a", "doc_id_b"],
-        coalesce=(4, 1),
+    with_a = _copartition_attach(
+        cands, docs, "doc_id_a", carry=[("doc_id_b", pa.int64())],
+        text_out="text_a", nparts=num_partitions,
+        dedup_carry=["doc_id_b"],
     )
-
-    docs_a = docs.map_batches(
-        _rename_clean({"doc_id": "doc_id_a", "text": "text_a"}),
-        batch_format="pyarrow",
-    )
-    docs_b = docs.map_batches(
-        _rename_clean({"doc_id": "doc_id_b", "text": "text_b"}),
-        batch_format="pyarrow",
-    )
-    with_a = cands.join(
-        docs_a, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id_a",), right_on=("doc_id_a",),
-    )
-    with_ab = with_a.join(
-        docs_b, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id_b",), right_on=("doc_id_b",),
+    with_ab = _copartition_attach(
+        with_a, docs, "doc_id_b",
+        carry=[("doc_id_a", pa.int64()), ("text_a", pa.string())],
+        text_out="text_b", nparts=num_partitions,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -1149,7 +1225,25 @@ def hash_partition(ds, keys, nparts: int):
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0
     try:
-        return ds.repartition(nparts, keys=list(keys)).materialize()
+        out = ds.repartition(nparts, keys=list(keys)).materialize()
+        # Split-block guard: every in-block per-key op downstream
+        # (dedup, as-of merge, windows, schedule) is exact ONLY if a
+        # partition is one block. Ray 2.49 has not been observed to
+        # split hash-shuffle output blocks (even under a 1 MB block-
+        # size cap), but a partition larger than the block-size target
+        # COULD split; retry with more, smaller partitions (the
+        # already-shuffled output re-partitions cheaply) rather than
+        # silently returning blocks that break key-completeness.
+        for _ in range(3):  # pragma: no branch
+            if out.num_blocks() <= nparts:
+                return out
+            nparts *= 2  # pragma: no cover - split never observed
+            out = out.repartition(nparts, keys=list(keys)).materialize()
+        if out.num_blocks() > nparts:  # pragma: no cover
+            raise RuntimeError(
+                "hash_partition: partitions still split after retries; "
+                "refusing to return non-key-complete blocks")
+        return out  # pragma: no cover
     finally:
         ctx.shuffle_strategy = prev_strategy
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_cpus
@@ -1188,17 +1282,25 @@ def asof_purchase_attribution(sf_dir: str):
             )
         p = p.sort_values("ts", kind="stable")[
             ["event_id", "user_id", "ts"]]
-        v = v.sort_values("ts", kind="stable")[
+        # Tie-break pin: merge_asof(backward) takes the LAST matching
+        # view row, so sorting views by (ts, event_id) makes the
+        # max-event_id view win when several share the as-of
+        # timestamp — deterministic across shuffle orders and matched
+        # by the oracle's ORDER BY v.ts DESC, v.event_id DESC rn=1.
+        v = v.sort_values(["ts", "event_id"], kind="stable")[
             ["event_id", "user_id", "ts"]].assign(view_ts=lambda d: d["ts"])
         m = pd.merge_asof(p, v, on="ts", by="user_id",
                           direction="backward", suffixes=("", "_v"))
         m = m.dropna(subset=["event_id_v"])
+        # Integer-microsecond half-away rounding (see user_event_gaps).
+        us = (m["ts"].to_numpy("datetime64[us]")
+              - m["view_ts"].to_numpy("datetime64[us]")).astype("int64")
         return pd.DataFrame({
             "purchase_id": m["event_id"].astype("int64"),
             "user_id": m["user_id"].astype("int64"),
             "purchase_ts": m["ts"],
             "view_id": m["event_id_v"].astype("int64"),
-            "lag_s": ((m["ts"] - m["view_ts"]).dt.total_seconds()).round(3),
+            "lag_s": ((us + 500) // 1000) / 1000.0,
         })
 
     return ev.map_batches(block, batch_format="pandas", batch_size=None)
@@ -1367,13 +1469,20 @@ def user_event_gaps(sf_dir: str):
         g = df.groupby("user_id", sort=False)
         prev_id = g["event_id"].shift(1)
         prev_ts = g["ts"].shift(1)
-        keep = prev_id.notna()
-        gap = (df["ts"] - prev_ts).dt.total_seconds().round(3)
+        keep = (prev_id.notna()).to_numpy()
+        # Integer-microsecond half-away rounding: float64
+        # total_seconds().round(3) double-rounds (binary seconds, then
+        # numpy half-even), which can disagree with an exact decimal
+        # round by 1 ulp of a millisecond. Deltas are non-negative
+        # (sorted by ts), so (us + 500) // 1000 is exact half-away.
+        us = (df["ts"].to_numpy("datetime64[us]")
+              - prev_ts.to_numpy("datetime64[us]")).astype("int64")
+        gap = ((us[keep] + 500) // 1000) / 1000.0
         return pd.DataFrame({
             "event_id": df.loc[keep, "event_id"].astype("int64"),
             "user_id": df.loc[keep, "user_id"].astype("int64"),
             "prev_event_id": prev_id[keep].astype("int64"),
-            "gap_s": gap[keep],
+            "gap_s": gap,
         })
 
     return ev.map_batches(block, batch_format="pandas", batch_size=None)
@@ -1483,14 +1592,45 @@ def purchase_context_events(sf_dir: str, window_s: int = 3600):
         ts = df["ts"].to_numpy("datetime64[us]").view("int64")
         uidx = pd.factorize(df["user_id"].to_numpy())[0]
         w = np.int64(window_s) * 1_000_000
-        # Pack all users on one axis: stride > any user's span + window
-        # so windows can never cross user boundaries.
-        stride = (ts.max() - ts.min()) + 2 * w + 2
-        axis = uidx * stride + (ts - ts.min())
+        # Pack all users on one axis so ONE searchsorted serves every
+        # user. Shifting each user's timestamps to its own origin
+        # (the user's first ts) keeps per-user values in [0, span_u],
+        # so the stride only needs the max per-user span + window —
+        # not the block's full time range — keeping n_users * stride
+        # far from int64 even at ~10^6 users x year-scale spans.
+        # uidx is sorted (block sorted by user): the first row of each
+        # run is the user's min ts.
+        run_start = np.flatnonzero(np.r_[True, uidx[1:] != uidx[:-1]])
+        user_first = ts[run_start]
+        rel = ts - user_first[uidx]
+        span = np.int64(rel.max()) if len(rel) else np.int64(0)
+        stride = span + 2 * w + 2
+        n_users = np.int64(uidx.max()) + 1 if len(uidx) else np.int64(1)
         is_p = (df["event_type"] == "purchase").to_numpy()
-        p_axis = axis[is_p]
-        lo = np.searchsorted(axis, p_axis - w, side="left")
-        hi = np.searchsorted(axis, p_axis, side="left")  # strict <
+        if int(n_users) * int(stride) < 2 ** 62:
+            axis = uidx * stride + rel
+            p_axis = axis[is_p]
+            lo = np.searchsorted(axis, p_axis - w, side="left")
+            hi = np.searchsorted(axis, p_axis, side="left")  # strict <
+        else:
+            # Overflow guard: the packed axis would exceed int64
+            # (pathological span x user count). Fall back to
+            # per-user-run searchsorted — still vectorized within
+            # each run, one Python iteration per distinct user.
+            run_end = np.r_[run_start[1:], len(ts)]
+            lo_l, hi_l = [], []
+            for s, e in zip(run_start, run_end):
+                seg = ts[s:e]
+                pm = is_p[s:e]
+                if not pm.any():
+                    continue
+                pt = seg[pm]
+                lo_l.append(s + np.searchsorted(seg, pt - w, side="left"))
+                hi_l.append(s + np.searchsorted(seg, pt, side="left"))
+            lo = (np.concatenate(lo_l) if lo_l
+                  else np.empty(0, dtype=np.int64))
+            hi = (np.concatenate(hi_l) if hi_l
+                  else np.empty(0, dtype=np.int64))
         cnt = hi - lo
         total = int(cnt.sum())
         if total == 0:
@@ -1508,7 +1648,9 @@ def purchase_context_events(sf_dir: str, window_s: int = 3600):
             "user_id": df["user_id"].to_numpy()[is_p][pj],
             "ctx_event_id": eid[ctx],
             "ctx_type": df["event_type"].to_numpy()[ctx],
-            "lead_s": np.round((p_ts[pj] - ts[ctx]) / 1e6, 3),
+            # Integer-us half-away rounding (see user_event_gaps);
+            # p_ts >= ts[ctx] by construction so + 500 // is exact.
+            "lead_s": ((p_ts[pj] - ts[ctx] + 500) // 1000) / 1000.0,
         })
 
     return ev.map_batches(block, batch_format="pandas", batch_size=None)
@@ -1637,6 +1779,14 @@ def jaccard_dup_clusters(sf_dir: str, threshold: float = 0.8):
         if labels.sum("changed") == 0:
             break
         labels = labels.drop_columns(["changed"])
+    else:
+        # Exhausted the round budget without reaching the fixpoint: a
+        # component with diameter > 64 would silently get wrong labels.
+        # Fail loudly — the caller can raise the budget (or switch the
+        # propagation to pointer-doubling) rather than trust bad output.
+        raise RuntimeError(
+            "jaccard_dup_clusters: min-label propagation did not "
+            "converge within 64 rounds (component diameter too large)")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

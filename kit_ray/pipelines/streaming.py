@@ -26,7 +26,7 @@ from ..stages.crawl_stages import HostTraverse, RobotsFetchParse
 from ..stages.politeness import PolitenessPool
 from ..state.seen import SeenSet
 from ..synth import CorpusConfig
-from .crawl import dedup_first_sorted, hash_partition_by_host
+from .crawl import dedup_first_sorted, hash_partition_by_host, schedule_parts
 
 
 class FrontierState:
@@ -60,6 +60,8 @@ def crawl_round(
     host_rank_offset: int = 0,
     concurrency: int = 4,
     out_dir: str | None = None,
+    policy_mode: str = "auto",
+    broadcast_max_hosts: int = 1_000_000,
 ):
     """One frontier round: robots -> traversal+gate -> in-round dedup ->
     cross-round seen filter -> politeness ticks. Returns the round's
@@ -68,8 +70,20 @@ def crawl_round(
     the object store; the driver never collects the round (a round can
     be most of the frontier at the 10^10 design point). With ``out_dir``
     the round is also written as ``round=K/`` parquet with a lineage
-    manifest, like the batch pipeline's stage checkpoints."""
+    manifest, like the batch pipeline's stage checkpoints.
+
+    ``policy_mode`` mirrors the batch pipeline (crawl.py): "broadcast"
+    ships the whole per-host policy cache once via ``ray.put`` and fuses
+    the gate into the traversal pool; "partitioned" (the ≫10^6-host
+    round path) never materializes the cache anywhere — entries
+    hash-join their host's ``policy_json`` row and gate in
+    ``CoPartitionedGate``, and per-host crawl delays reach the
+    politeness authorities from each host-complete BLOCK rather than a
+    driver-side dict. "auto" picks by round host count."""
     state.round += 1
+    if policy_mode == "auto":
+        policy_mode = ("broadcast" if len(hosts) <= broadcast_max_hosts
+                       else "partitioned")
     seeds = rd.from_items(
         [
             {"host": h, "host_rank": host_rank_offset + i}
@@ -86,21 +100,57 @@ def crawl_round(
         num_cpus=1,
     ).materialize()
 
-    rdf = robots.select_columns(["host", "policy_json", "crawl_delay_s"]).to_pandas()
-    policies_ref = ray.put(dict(zip(rdf["host"], rdf["policy_json"])))
-    state.polite.set_delays(
-        {h: float(d) if pd.notna(d) else 0.0
-         for h, d in zip(rdf["host"], rdf["crawl_delay_s"])}
-    )
+    delays_from_block = policy_mode == "partitioned"
+    if policy_mode == "broadcast":
+        rdf = robots.select_columns(
+            ["host", "policy_json", "crawl_delay_s"]).to_pandas()
+        policies_ref = ray.put(dict(zip(rdf["host"], rdf["policy_json"])))
+        state.polite.set_delays(
+            {h: float(d) if pd.notna(d) else 0.0
+             for h, d in zip(rdf["host"], rdf["crawl_delay_s"])}
+        )
+        gated = robots.select_columns(
+            ["host", "host_rank", "sitemaps"]).map_batches(
+            HostTraverse,
+            fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        ).materialize()  # measured-size shuffle width (see crawl.py)
+        nparts = schedule_parts(gated.size_bytes(), concurrency)
+    else:
+        # Ungated traversal; the hash join below co-locates each entry
+        # with its host's policy row AND leaves the output
+        # host-complete, so the gate feeds the schedule with no second
+        # shuffle and no broadcast of the policy cache.
+        from ..stages.crawl_stages import CoPartitionedGate
 
-    gated = robots.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
-        HostTraverse,
-        fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},
-        batch_format="pyarrow",
-        batch_size=2,
-        concurrency=(1, concurrency),
-        num_cpus=1,
-    )
+        entries = robots.select_columns(
+            ["host", "host_rank", "sitemaps"]).map_batches(
+            HostTraverse,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        ).materialize()  # measured-size shuffle width (see crawl.py)
+        nparts = schedule_parts(entries.size_bytes(), concurrency)
+        pol_side = robots.select_columns(["host", "policy_json"])
+        gated = entries.join(
+            pol_side, join_type="inner",
+            num_partitions=nparts,
+            on=("host",), right_on=("host",),
+            # Aggregators route/buffer only; a CPU reservation stacks
+            # on the pool minimums and can starve tasks (see crawl.py).
+            aggregator_ray_remote_args={"num_cpus": 0},
+        ).map_batches(
+            CoPartitionedGate,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=(1, max(2, concurrency)),
+            num_cpus=1,
+        )
 
     # In-round dedup + cross-round anti-join + ticks in ONE host-hash
     # shuffle — the batch pipeline's schedule shape. A url_key embeds
@@ -124,8 +174,12 @@ def crawl_round(
     #   crash-resume determinism.
     seen, polite = state.seen, state.polite
     order_cols = ["host", "host_rank", "stack_rank", "pos"]
-    nparts = max(2, min(concurrency, 16))
-    joined = hash_partition_by_host(gated, nparts)
+    if delays_from_block:
+        # The join already left each block host-complete; a second
+        # keyed repartition would be a pure wasted shuffle.
+        joined = gated.materialize()
+    else:
+        joined = hash_partition_by_host(gated, nparts)
 
     if joined.num_blocks() == nparts:
         def round_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -140,6 +194,16 @@ def crawl_round(
             df = df[pd.Series(new, index=df.index)]
             if not len(df):
                 return df.assign(tick=pd.Series(dtype="float64"))
+            if delays_from_block:
+                # Partitioned mode: a host lives in exactly one block,
+                # so ITS block is the delay authority — per-host delays
+                # flow to the politeness shards from here (bounded by
+                # this block's host set), never as a driver-side dict
+                # of every host in the round.
+                polite.set_delays(
+                    df.groupby("host", sort=False)["crawl_delay_s"]
+                    .first().astype("float64").to_dict()
+                )
             idx = df.groupby("host", sort=False).cumcount().to_numpy()
             counts = df["host"].value_counts()
             bases = polite.reserve({h: int(n) for h, n in counts.items()})
@@ -151,6 +215,20 @@ def crawl_round(
             round_block, batch_format="pandas", batch_size=None
         ).materialize()
     else:  # pragma: no cover - split partition blocks (never observed)
+        if delays_from_block:
+            # The sorted fallback reads delays from the authorities:
+            # feed them per-block first (distinct hosts per block, tiny
+            # rows), not as one driver dict of the whole round.
+            def _push_delays(df: pd.DataFrame) -> pd.DataFrame:
+                if len(df):
+                    polite.set_delays(
+                        df.groupby("host", sort=False)["crawl_delay_s"]
+                        .first().astype("float64").to_dict())
+                return df.iloc[0:0][["host"]]
+
+            joined.map_batches(
+                _push_delays, batch_format="pandas", batch_size=None
+            ).materialize()
         scheduled = _round_schedule_sorted(
             dedup_first_sorted(joined), state
         )

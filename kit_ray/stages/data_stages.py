@@ -51,24 +51,29 @@ class MinHasher:
         self.bands = bands
         self.k = shingle_k
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("band", pa.int32()),
+                         ("band_key", pa.int64())])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
         if not n:
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "band": pd.Series([], dtype="int32"),
-                 "band_key": pd.Series([], dtype="int64")}
-            )
+            return self._SCHEMA.empty_table()
+        # Arrow in, Arrow out: the only Python hop is the unavoidable
+        # per-doc shingle loop; the exploded (doc, band) output wraps
+        # the numpy arrays zero-copy instead of paying a
+        # pandas->arrow conversion per batch.
         sigs = np.stack(
-            [self.D.minhash_signature(self.D.word_shingles(t, self.k),
+            [self.D.minhash_signature(self.D.word_shingles(s, self.k),
                                       self.num_perm)
-             for t in df["text"]]
+             for s in t["text"].to_pylist()]
         )
         keys = self.D.lsh_band_keys_batch(sigs, self.bands)  # (n, B) int64
-        return pd.DataFrame(
-            {"doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), self.bands),
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": np.repeat(doc_ids, self.bands),
              "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
-             "band_key": keys.ravel()}
+             "band_key": keys.ravel()},
+            schema=self._SCHEMA,
         )
 
 

@@ -428,6 +428,33 @@ class TestAsofAndWindows:
             "value": rng.uniform(0.1, 50, n).round(2),
         })
 
+    def test_sorted_dedup_no_single_block_funnel(self, ray_session):
+        """Regression: sorted_dedup must NOT end in a repartition(1)
+        funnel — on multi-block input the deduped output stays
+        multi-block (per-key-range parallel finish), and the result is
+        still the exact min-order row per key."""
+        import ray.data as rd
+
+        from kit_ray.pipelines.dataops import sorted_dedup
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 800, n).astype("int64"),
+            "ord": rng.permutation(n).astype("int64"),
+            "payload": rng.integers(0, 10, n).astype("int64"),
+        })
+        ds = rd.from_pandas(df).repartition(9)
+        out = sorted_dedup(ds, ["k", "ord"], ["k"], nparts=6)
+        mat = out.materialize()
+        assert mat.num_blocks() > 1, "dedup funneled to one block"
+        got = mat.to_pandas().sort_values("k").reset_index(drop=True)
+        want = (df.sort_values(["k", "ord"]).drop_duplicates("k")
+                .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "ord", "payload"]].astype("int64"),
+            want[["k", "ord", "payload"]].astype("int64"))
+
     def test_hash_partition_blocks_are_key_complete(self, ray_session, tmp_path):
         import ray.data as rd
 

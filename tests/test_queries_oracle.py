@@ -62,7 +62,13 @@ def _compare(got: pd.DataFrame, want: pd.DataFrame, name: str):
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     for c in got.columns:
         if pd.api.types.is_float_dtype(got[c]):
-            assert np.allclose(got[c], want[c], atol=1e-9, equal_nan=True), (
+            # rtol=0: the driver gate hashes canonical values, so a
+            # relative tolerance would let absolute errors (e.g. a
+            # 0.001 rounding slip on a 10^4-second gap) pass locally
+            # while failing the driver — only a tiny absolute ulp
+            # allowance is safe.
+            assert np.allclose(got[c], want[c], rtol=0, atol=1e-9,
+                               equal_nan=True), (
                 f"{name}: float column {c} differs"
             )
         else:

@@ -188,11 +188,14 @@ def _stream_reference(cfg, waves):
 
 
 class TestIncrementalFrontier:
-    def test_rounds_bit_match_reference(self, ray_session):
+    @pytest.mark.parametrize("policy_mode", ["broadcast", "partitioned"])
+    def test_rounds_bit_match_reference(self, ray_session, policy_mode):
         """Multi-round streaming e2e: every round's schedule (urls,
         hosts, ticks, order keys) bit-matches the single-process
         reference, including cross-round seen filtering and tick
-        continuation for overlapping waves."""
+        continuation for overlapping waves — in BOTH policy modes
+        (broadcast gate fused into traversal; ≫10^6-host partitioned
+        mode gating after a host-hash policy join)."""
         from kit_ray.pipelines.streaming import FrontierState, crawl_round
         from kit_ray.synth import CorpusConfig
 
@@ -206,7 +209,8 @@ class TestIncrementalFrontier:
             offset = 0
             for wave, wround in zip(waves, want):
                 got = crawl_round(cfg, state, wave, host_rank_offset=offset,
-                                  concurrency=2).to_pandas()
+                                  concurrency=2,
+                                  policy_mode=policy_mode).to_pandas()
                 got_rows = list(zip(got["url"], got["host"], got["tick"],
                                     got["host_rank"], got["stack_rank"],
                                     got["pos"]))
