@@ -97,34 +97,55 @@ def lang_id(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
+_FP_B = np.uint64(1_000_003)
+_FP_BINV = np.uint64(pow(1_000_003, -1, 1 << 64))  # B odd => invertible
+
+
 def rolling_fingerprint(texts: pd.Series, window: int = 8) -> pd.Series:
-    """Document fingerprint: min of Rabin-Karp rolling hashes over
-    ``window``-token shingles (a 1-perm MinHash). Deterministic int64."""
-    B = 1_000_003
-    MOD = (1 << 61) - 1
+    """Document fingerprint: min of polynomial Rabin-Karp hashes over
+    ``window``-token shingles (a 1-perm MinHash), arithmetic mod 2^64
+    (native uint64 wraparound). Deterministic int64.
 
-    def one(text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
-        hs = fnv1a_batch(toks).tolist()
-        if len(hs) <= window:
-            acc = 0
-            for h in hs:
-                acc = (acc * B + h) % MOD
-            return to_i64(acc)
-        pw = pow(B, window - 1, MOD)
-        acc = 0
-        for h in hs[:window]:
-            acc = (acc * B + h) % MOD
-        best = acc
-        for i in range(window, len(hs)):
-            acc = ((acc - hs[i - window] * pw) * B + hs[i]) % MOD
-            if acc < best:
-                best = acc
-        return to_i64(best)
-
-    return texts.map(one).astype("int64")
+    Fully vectorized over the WHOLE batch: every document's token
+    hashes concatenate into one array; because the base B is odd (so
+    invertible mod 2^64), a window hash is a difference of prefix sums
+    of h[i] * B^{-i} rescaled by B^{end-1} — one cumsum + one gather
+    per batch, then a per-document ``minimum.reduceat``. No per-token
+    Python loop, no per-document modular arithmetic."""
+    tok_lists = [t.split() for t in texts]
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    out = np.zeros(len(texts), dtype=np.int64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return pd.Series(out, index=texts.index)
+    flat = [tok for toks in tok_lists for tok in toks]
+    hs = fnv1a_batch(flat)  # one batched FNV pass for the whole corpus
+    n = len(hs)
+    with np.errstate(over="ignore"):
+        # POW[k] = B^k, IPOW[k] = B^-k (mod 2^64), exact by wraparound.
+        POW = np.empty(n, dtype=np.uint64)
+        IPOW = np.empty(n, dtype=np.uint64)
+        POW[0] = IPOW[0] = 1
+        np.cumprod(np.full(n - 1, _FP_B), out=POW[1:])
+        np.cumprod(np.full(n - 1, _FP_BINV), out=IPOW[1:])
+        Q = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(hs * IPOW, out=Q[1:])
+        # Window starts per doc: positions [s, s + L - w] with
+        # w = min(window, L) — the multi-arange construction.
+        L = lens[nonempty]
+        doc_start = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
+        w = np.minimum(L, window)
+        cnt = L - w + 1
+        total = int(cnt.sum())
+        shift = np.repeat(np.cumsum(cnt) - cnt - doc_start, cnt)
+        starts = np.arange(total, dtype=np.int64) - shift
+        ends = starts + np.repeat(w, cnt)
+        # hash(s, e) = (Q[e] - Q[s]) * B^{e-1}
+        vals = (Q[ends] - Q[starts]) * POW[ends - 1]
+        mins = np.minimum.reduceat(vals, np.cumsum(cnt) - cnt)
+        out[nonempty] = mins.view(np.int64)
+    return pd.Series(out, index=texts.index)
 
 
 def hash_token(tok: str) -> int:

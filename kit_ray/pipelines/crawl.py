@@ -236,13 +236,30 @@ def schedule_parts(size_bytes: int | None, par: int) -> int:
     grow so no host-complete partition exceeds
     ``SCHEDULE_PARTITION_BYTES`` regardless of cluster size (a fixed
     16 made one partition hold 1/16th of a 10^10-URL schedule — a
-    worker-heap blowout). The map side materializes first, so the size
-    is measured, not guessed (the Spark-AQE shape)."""
+    worker-heap blowout)."""
     floor = max(2, min(par, 16))
     if not size_bytes or size_bytes <= 0:
         return floor
     by_bytes = -(-int(size_bytes) // SCHEDULE_PARTITION_BYTES)
     return max(floor, by_bytes)
+
+
+def widen_schedule_partitions(joined, par: int, nparts: int):
+    """Post-shuffle width correction, pipelining-free: the first keyed
+    shuffle runs at the parallelism floor WITHOUT materializing its
+    input (traversal/parse streams straight into the shuffle send —
+    no extra barrier on the critical path), then the MEASURED bytes of
+    the materialized shuffle output decide whether host-complete
+    partitions are too fat for a worker heap. Small jobs never
+    re-shuffle (width stays the floor, zero added cost); a 10^10-URL
+    schedule pays one extra keyed exchange of already-compacted
+    metadata — negligible against the job, and the alternative
+    (pre-materializing to measure) taxes EVERY job's e2e time.
+    Returns (dataset, width)."""
+    need = schedule_parts(joined.size_bytes(), par)
+    if need > nparts:  # pragma: no cover - beyond-sandbox data sizes
+        return hash_partition_by_host(joined, need), need
+    return joined, nparts
 
 
 def hash_partition_by_host(ds, nparts: int):
@@ -406,6 +423,7 @@ def crawl(
     # ---- stage 2: traversal -> gate -> dedup -> politeness -> schedule --
     order_dir = os.path.join(out_dir, "crawl_order")
     t0 = time.time()
+    final_mat = None  # in-memory schedule when stage 2 ran this call
     if not (resume and storage.valid_checkpoint(order_dir, digest)):
         shutil.rmtree(order_dir, ignore_errors=True)  # see stage-1 note
         robots_ds = (robots_mat if robots_mat is not None else
@@ -453,13 +471,8 @@ def crawl(
         # its host, so host-complete partitions make BOTH the URL-seen
         # dedup and the politeness cumcount exact per block — one
         # shuffle, no global range sorts, no driver offset metadata.
-        # Materialize the parsed entries FIRST (they're schedule
-        # metadata, ~200 B/row — tiny next to payloads) so the shuffle
-        # width is sized by measured bytes; the blocks are pinned for
-        # the repartition anyway, and the split-block guard below
-        # catches any partition that still splits.
-        parsed = parsed.materialize()
-        nparts = schedule_parts(parsed.size_bytes(), par)
+        nparts = max(2, min(par, 16))  # parallelism floor; corrected
+        # from measured bytes after the shuffle (widen_schedule_partitions)
         if policy_mode == "partitioned":
             # Hash-co-locate entries with their host's policy row: the
             # join partitions BOTH sides by hash(host), so each output
@@ -492,6 +505,7 @@ def crawl(
             # Broadcast mode gated inside the parse pool; one keyed
             # repartition co-locates hosts for the schedule.
             joined = hash_partition_by_host(parsed, nparts)
+        joined, nparts = widen_schedule_partitions(joined, par, nparts)
         if joined.num_blocks() == nparts:
             scheduled = joined.map_batches(
                 schedule_block_fn(budget_per_host),
@@ -515,8 +529,13 @@ def crawl(
         # (tick, ...) order sorts the small metadata at read time —
         # saving the third full sort of the stage (Ray sort costs a
         # fixed ~2.5 s sample/boundary/barrier regardless of CPUs).
-        final = scheduled.map_batches(add_bucket, batch_format="pandas")
-        final.write_parquet(order_dir)
+        # Materialized once: the write streams from these blocks AND
+        # stage 3 consumes them directly on a fresh run — the schedule
+        # checkpoint is for RESUME, so the common path shouldn't pay a
+        # disk round-trip + full re-read of what it just computed.
+        final_mat = scheduled.map_batches(
+            add_bucket, batch_format="pandas").materialize()
+        final_mat.write_parquet(order_dir)
         os.makedirs(order_dir, exist_ok=True)  # zero-row writes create nothing
         storage.write_manifest(
             order_dir, stage="crawl_order", digest=digest, rows=pq_count(order_dir),
@@ -538,15 +557,19 @@ def crawl(
     # tiny (bucket, n) driver sum. Never pulls the host/bucket column of
     # the whole schedule to the driver.
     rows_per_bucket: dict[int, int] = {}
-    if _has_parquet(order_dir):
+    if final_mat is not None or _has_parquet(order_dir):
         def bucket_partial(t: pa.Table) -> pa.Table:
             vc = pa.compute.value_counts(t["bucket"].combine_chunks())
             return pa.table(
                 {"bucket": vc.field("values"), "n": vc.field("counts")}
             )
 
+        bucket_src = (
+            final_mat.select_columns(["bucket"]) if final_mat is not None
+            else rd.read_parquet(order_dir, columns=["bucket"])
+        )
         counts = (
-            rd.read_parquet(order_dir, columns=["bucket"])
+            bucket_src
             .map_batches(bucket_partial, batch_format="pyarrow")
             .to_pandas()  # <= n_buckets x n_blocks rows
         )
@@ -567,11 +590,15 @@ def crawl(
     if todo:
         t0 = time.time()
         todo_set = set(todo)
-        # The schedule is tiny metadata but usually a single file: spread
-        # it so the fetch pool's parallelism isn't capped by source
-        # block count.
-        order_ds = storage.strip_schema_metadata(
-            rd.read_parquet(order_dir)).repartition(par * 2)
+        # The schedule is tiny metadata: spread it so the fetch pool's
+        # parallelism isn't capped by source block count. Fresh runs
+        # feed the in-memory blocks straight to the fetch pool (the
+        # parquet checkpoint is for RESUME — re-reading what was just
+        # computed cost a disk round-trip on every run's critical
+        # path); resume runs read the checkpoint.
+        order_src = (final_mat if final_mat is not None else
+                     storage.strip_schema_metadata(rd.read_parquet(order_dir)))
+        order_ds = order_src.repartition(par * 2)
         todo_arr = pa.array(sorted(todo_set), pa.int32())
         pending = order_ds.map_batches(
             lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=todo_arr)),

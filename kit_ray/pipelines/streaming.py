@@ -26,7 +26,11 @@ from ..stages.crawl_stages import HostTraverse, RobotsFetchParse
 from ..stages.politeness import PolitenessPool
 from ..state.seen import SeenSet
 from ..synth import CorpusConfig
-from .crawl import dedup_first_sorted, hash_partition_by_host, schedule_parts
+from .crawl import (
+    dedup_first_sorted,
+    hash_partition_by_host,
+    widen_schedule_partitions,
+)
 
 
 class FrontierState:
@@ -100,6 +104,9 @@ def crawl_round(
         num_cpus=1,
     ).materialize()
 
+    # Parallelism floor; corrected from measured bytes after the
+    # shuffle (crawl.widen_schedule_partitions).
+    nparts = max(2, min(concurrency, 16))
     delays_from_block = policy_mode == "partitioned"
     if policy_mode == "broadcast":
         rdf = robots.select_columns(
@@ -117,8 +124,7 @@ def crawl_round(
             batch_size=2,
             concurrency=(1, concurrency),
             num_cpus=1,
-        ).materialize()  # measured-size shuffle width (see crawl.py)
-        nparts = schedule_parts(gated.size_bytes(), concurrency)
+        )
     else:
         # Ungated traversal; the hash join below co-locates each entry
         # with its host's policy row AND leaves the output
@@ -134,8 +140,7 @@ def crawl_round(
             batch_size=2,
             concurrency=(1, concurrency),
             num_cpus=1,
-        ).materialize()  # measured-size shuffle width (see crawl.py)
-        nparts = schedule_parts(entries.size_bytes(), concurrency)
+        )
         pol_side = robots.select_columns(["host", "policy_json"])
         gated = entries.join(
             pol_side, join_type="inner",
@@ -180,6 +185,7 @@ def crawl_round(
         joined = gated.materialize()
     else:
         joined = hash_partition_by_host(gated, nparts)
+    joined, nparts = widen_schedule_partitions(joined, concurrency, nparts)
 
     if joined.num_blocks() == nparts:
         def round_block(df: pd.DataFrame) -> pd.DataFrame:

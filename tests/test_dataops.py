@@ -143,6 +143,33 @@ class TestTextKernels:
         assert f1.equals(f2)
         assert T.rolling_fingerprint(pd.Series([""]))[0] == 0
 
+    def test_fingerprint_matches_scalar_reference(self):
+        """Pin the vectorized prefix-sum formulation to the definition:
+        min over window shingles of the Horner polynomial hash of the
+        token FNV values, arithmetic mod 2^64, short docs hashed whole."""
+        def scalar_ref(text: str, window: int = 8) -> int:
+            toks = text.split()
+            if not toks:
+                return 0
+            hs = [int(x) for x in T.fnv1a_batch(toks)]
+            w = min(window, len(hs))
+            best = None
+            for s0 in range(len(hs) - w + 1):
+                acc = 0
+                for h in hs[s0:s0 + w]:
+                    acc = (acc * 1_000_003 + h) % (1 << 64)
+                best = acc if best is None else min(best, acc)
+            return best - (1 << 64) if best >= (1 << 63) else best
+
+        rng = np.random.default_rng(11)
+        words = ["alpha", "beta", "gamma", "x", "yy", "zzz", "w0rd", "42"]
+        texts = ["", "one", "one two three"] + [
+            " ".join(rng.choice(words, size=int(k)))
+            for k in rng.integers(0, 30, 40)
+        ]
+        got = T.rolling_fingerprint(pd.Series(texts)).tolist()
+        assert got == [scalar_ref(t) for t in texts]
+
     def test_text_stats_quality_range(self):
         df = pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat on the mat.", ""]})
         out = T.text_stats(df)
