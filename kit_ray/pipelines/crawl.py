@@ -388,17 +388,43 @@ def crawl(
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
             batch_size=16,
-            concurrency=(1, 4),  # tiny per-host work: more actors = pure startup cost
+            # Near-fixed pool: the (1, 4) ramp started actors serially
+            # while the first batches queued — pure dead time on a
+            # stage this short. Min stays BELOW the CPU count so the
+            # seed read/from_items tasks never starve (min==CPUs
+            # deadlocks outright at 4 CPUs — observed).
+            concurrency=(min(4, max(1, par // 2)), 4),
             num_cpus=1,
         ).materialize()  # small (one row per host): pin and reuse
-        robots_mat.write_parquet(robots_dir)
-        rows = pq_count(robots_dir)
-        storage.write_manifest(
-            robots_dir, stage="robots_cache", digest=digest, rows=rows,
-            schema=["host", "host_rank", "always", "crawl_delay_s", "sitemaps",
-                    "policy_json"], started=t0,
-        )
-    summary["robots_rows"] = pq_count(robots_dir)
+        # The robots checkpoint write is pure resume insurance — stage
+        # 2 consumes robots_mat from memory — so it runs in a
+        # background thread OVERLAPPING stage 2 instead of as driver
+        # dead time between the stages. Joined (and re-raised) before
+        # the summary reads the written files; per-stage manifest
+        # validity keeps crash-resume exact if the writer dies mid-run.
+        robots_writer_err: list = []
+
+        def _write_robots():
+            try:
+                robots_mat.write_parquet(robots_dir)
+                storage.write_manifest(
+                    robots_dir, stage="robots_cache", digest=digest,
+                    rows=pq_count(robots_dir),
+                    schema=["host", "host_rank", "always", "crawl_delay_s",
+                            "sitemaps", "policy_json"], started=t0,
+                )
+            except BaseException as e:  # noqa: BLE001 - re-raised at join
+                robots_writer_err.append(e)
+
+        import threading
+
+        robots_writer = threading.Thread(target=_write_robots)
+        robots_writer.start()
+    else:
+        robots_writer, robots_writer_err = None, []
+    summary["robots_rows"] = (
+        robots_mat.count() if robots_mat is not None else pq_count(robots_dir)
+    )
     summary["robots_sec"] = round(time.time() - t0, 2)
 
     if policy_mode == "auto":
@@ -440,6 +466,11 @@ def crawl(
         robots_ds = robots_ds.repartition(
             max(1, min(summary["robots_rows"], par * 2))
         )
+        # Cap every pool at its input's batch count: a pool larger
+        # than the number of batches only creates actors the job can
+        # never feed, and their leftover PENDING_CREATION requests
+        # stall the NEXT pipeline's pool startup (observed 10-20 s).
+        _n_hosts_b = max(1, -(-summary["robots_rows"] // 4))
         leaves = robots_ds.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
             HostExpand,
             fn_constructor_kwargs={"cfg": cfg},
@@ -449,7 +480,9 @@ def crawl(
             # floor at 32 CPUs (actors start serially while the first
             # hosts expand); min==max sized below par so downstream
             # tasks never starve.
-            concurrency=(max(1, min(par // 3, par - 2)), max(2, par // 3)),
+            concurrency=(max(1, min(par // 3, par - 2, _n_hosts_b)),
+                         max(2, min(par // 3, _n_hosts_b))
+                         if _n_hosts_b > 1 else 1),
             num_cpus=1,
         )
         parsed = leaves.repartition(par * 2).map_batches(
@@ -461,9 +494,13 @@ def crawl(
             batch_format="pyarrow",
             batch_size=4,  # a batch is a unit of sitemap-parallelism
             # Min sized ~par/2 (bounded below par so shuffle/write tasks
-            # never starve); autoscaling ramp from 1 would dominate
+            # never starve) but no larger than the HOST count (each host
+            # yields >=1 leaf; skewed hosts yield many, so the max stays
+            # uncapped for the autoscaler); ramp from 1 would dominate
             # short stages.
-            concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
+            concurrency=(max(1, min(par // 2, par - 2,
+                                    summary["robots_rows"])),
+                         max(2, (2 * par) // 3)),
             num_cpus=1,
         )
         # ---- dedup + politeness in one host-hash shuffle ----
@@ -543,6 +580,12 @@ def crawl(
                     "bucket"],
             started=t0,
         )
+    if robots_writer is not None:
+        # The overlapped robots checkpoint must land (and its errors
+        # surface) before anything trusts the on-disk stage layout.
+        robots_writer.join()
+        if robots_writer_err:
+            raise robots_writer_err[0]
     summary["scheduled_rows"] = pq_count(order_dir)
     summary["schedule_sec"] = round(time.time() - t0, 2)
 
@@ -590,6 +633,8 @@ def crawl(
     if todo:
         t0 = time.time()
         todo_set = set(todo)
+        _rows_todo = sum(rows_per_bucket[b] for b in todo)
+        _n_batches = max(1, -(-_rows_todo // fetch_batch_size))
         # The schedule is tiny metadata: spread it so the fetch pool's
         # parallelism isn't capped by source block count. Fresh runs
         # feed the in-memory blocks straight to the fetch pool (the
@@ -613,8 +658,15 @@ def crawl(
             # tasks and the write sink never starve (deadlock otherwise).
             # Max 2/3 of the pool measured faster than par-1 at 8 CPUs
             # (21.7 s vs 23.4 s images stage): the filter + parquet-write
-            # tasks need the remaining third.
-            concurrency=(max(1, min(par // 2, par - 2)), max(2, (2 * par) // 3)),
+            # tasks need the remaining third. Both bounds also cap at
+            # the job's BATCH COUNT: on a small job the autoscaler
+            # otherwise requests a full pool, the job ends first, and
+            # the leftover PENDING_CREATION actors stall the next
+            # pipeline's pool startup by 10-20 s (observed in-session).
+            concurrency=(
+                max(1, min(par // 2, par - 2, _n_batches)),
+                max(2, min((2 * par) // 3, _n_batches)),
+            ),
             num_cpus=1,
         )
         storage.write_dataset(images, images_dir, partition_cols=["bucket"])
