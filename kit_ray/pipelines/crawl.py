@@ -572,21 +572,43 @@ def crawl(
         # disk round-trip + full re-read of what it just computed.
         final_mat = scheduled.map_batches(
             add_bucket, batch_format="pandas").materialize()
-        final_mat.write_parquet(order_dir)
-        os.makedirs(order_dir, exist_ok=True)  # zero-row writes create nothing
-        storage.write_manifest(
-            order_dir, stage="crawl_order", digest=digest, rows=pq_count(order_dir),
-            schema=["url", "host", "tick", "host_rank", "stack_rank", "pos",
-                    "bucket"],
-            started=t0,
-        )
+
+        # Like the robots checkpoint: the schedule parquet is resume
+        # insurance (stage 3 fetches from final_mat), so its write +
+        # manifest overlap stage 3 in a thread. A crash before the
+        # manifest lands just re-runs the deterministic stage 2 on
+        # resume (per-stage digest validity).
+        sched_writer_err: list = []
+
+        def _write_sched():
+            try:
+                final_mat.write_parquet(order_dir)
+                os.makedirs(order_dir, exist_ok=True)  # zero-row writes
+                storage.write_manifest(
+                    order_dir, stage="crawl_order", digest=digest,
+                    rows=pq_count(order_dir),
+                    schema=["url", "host", "tick", "host_rank",
+                            "stack_rank", "pos", "bucket"],
+                    started=t0,
+                )
+            except BaseException as e:  # noqa: BLE001 - re-raised at join
+                sched_writer_err.append(e)
+
+        import threading
+
+        sched_writer = threading.Thread(target=_write_sched)
+        sched_writer.start()
+    else:
+        sched_writer, sched_writer_err = None, []
     if robots_writer is not None:
         # The overlapped robots checkpoint must land (and its errors
         # surface) before anything trusts the on-disk stage layout.
         robots_writer.join()
         if robots_writer_err:
             raise robots_writer_err[0]
-    summary["scheduled_rows"] = pq_count(order_dir)
+    summary["scheduled_rows"] = (
+        final_mat.count() if final_mat is not None else pq_count(order_dir)
+    )
     summary["schedule_sec"] = round(time.time() - t0, 2)
 
     # ---- stage 3: page fetch -> image table, bucket-resumable -----------
@@ -697,6 +719,12 @@ def crawl(
         rows_per_bucket[b] for b in summary["fetched_buckets"]
     )
     summary["complete"] = len(summary["fetched_buckets"]) == len(rows_per_bucket)
+    if sched_writer is not None:
+        # The overlapped schedule checkpoint must land (and its
+        # errors surface) before the job reports success.
+        sched_writer.join()
+        if sched_writer_err:
+            raise sched_writer_err[0]
     return summary
 
 
