@@ -286,3 +286,18 @@ class TestPartitionedPolicyMode:
         cols = ["url", "host", "url_key", "tick", "host_rank",
                 "stack_rank", "pos", "crawl_delay_s", "bucket"]
         assert got[cols].equals(want[cols])
+
+
+def test_schedule_parts_sizing():
+    """Shuffle width: parallelism floor for small inputs (unchanged
+    small-scale behavior), measured-bytes growth past the per-partition
+    byte target so no host-complete partition outgrows a worker heap."""
+    from kit_ray.pipelines.crawl import SCHEDULE_PARTITION_BYTES, schedule_parts
+
+    assert schedule_parts(None, 32) == 16          # floor at high par
+    assert schedule_parts(0, 4) == 4               # floor = min(par,16)
+    assert schedule_parts(10_000, 8) == 8          # small data: floor
+    assert schedule_parts(SCHEDULE_PARTITION_BYTES * 100, 32) == 100
+    assert (schedule_parts(SCHEDULE_PARTITION_BYTES * 100 + 1, 32)
+            == 101)                                # ceil division
+    assert schedule_parts(SCHEDULE_PARTITION_BYTES * 3, 32) == 16  # floor wins
