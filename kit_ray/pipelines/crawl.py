@@ -403,6 +403,8 @@ def crawl(
         # the summary reads the written files; per-stage manifest
         # validity keeps crash-resume exact if the writer dies mid-run.
         robots_writer_err: list = []
+        _robots_t0 = t0  # capture: t0 is REBOUND at stage-2 start, and
+        # the thread may read it after that (wrong manifest wall time)
 
         def _write_robots():
             try:
@@ -411,7 +413,7 @@ def crawl(
                     robots_dir, stage="robots_cache", digest=digest,
                     rows=pq_count(robots_dir),
                     schema=["host", "host_rank", "always", "crawl_delay_s",
-                            "sitemaps", "policy_json"], started=t0,
+                            "sitemaps", "policy_json"], started=_robots_t0,
                 )
             except BaseException as e:  # noqa: BLE001 - re-raised at join
                 robots_writer_err.append(e)
@@ -579,6 +581,7 @@ def crawl(
         # manifest lands just re-runs the deterministic stage 2 on
         # resume (per-stage digest validity).
         sched_writer_err: list = []
+        _sched_t0 = t0  # capture before stage-3 rebinds t0 (see robots)
 
         def _write_sched():
             try:
@@ -589,7 +592,7 @@ def crawl(
                     rows=pq_count(order_dir),
                     schema=["url", "host", "tick", "host_rank",
                             "stack_rank", "pos", "bucket"],
-                    started=t0,
+                    started=_sched_t0,
                 )
             except BaseException as e:  # noqa: BLE001 - re-raised at join
                 sched_writer_err.append(e)
