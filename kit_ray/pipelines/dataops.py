@@ -474,7 +474,7 @@ def hamming_pairs_64(sh, id_col: str, hash_col: str, max_hamming: int,
 
     pairs = joined.map_batches(verify, batch_format="pandas")
     # A pair can match in several chunks: collapse duplicates.
-    return sorted_dedup(pairs, [a_col, b_col], [a_col, b_col], coalesce=(1,))
+    return sorted_dedup(pairs, [a_col, b_col], [a_col, b_col])
 
 
 def simhash_neardup(sf_dir: str, max_hamming: int = 3, chunks: int = 4,
@@ -649,7 +649,7 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
     centroids fit on a bounded sample, every vector multi-assigned to
     its ``n_assign`` nearest cells inside ``map_batches`` (broadcast
     centroids), pairs generated only within cells, multi-assign
-    duplicate pairs collapsed by sort-based dedup. The per-cell group
+    duplicate pairs collapsed by hash-partitioned dedup. The per-cell group
     count is ``n_cells`` (small), so ``map_groups`` is the right tool
     here — unlike per-document grouping. Approximate by design (a pair
     split across disjoint cell sets is missed); recall on planted
@@ -695,8 +695,7 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
         "cell"
     ).map_groups(cell_pairs, batch_format="pandas")
     return sorted_dedup(
-        pairs, ["vec_id_a", "vec_id_b"], ["vec_id_a", "vec_id_b"],
-        coalesce=(4, 1),
+        pairs, ["vec_id_a", "vec_id_b"], ["vec_id_a", "vec_id_b"]
     )
 
 
@@ -1049,8 +1048,7 @@ def unique_users_per_type(sf_dir: str):
         batch_size=None,
     )
     uniq = sorted_dedup(
-        pre, ["event_type", "user_id"], ["event_type", "user_id"],
-        coalesce=(1,),
+        pre, ["event_type", "user_id"], ["event_type", "user_id"]
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1065,13 +1063,13 @@ def unique_users_per_type(sf_dir: str):
 
 
 def first_event_per_user(sf_dir: str):
-    """Argmin-per-key (each user's earliest event) via the sort-based
-    first-per-key machinery — no per-user map_groups. event_id breaks
-    exact-timestamp ties deterministically on both sides."""
+    """Argmin-per-key (each user's earliest event) via the
+    hash-partitioned first-per-key machinery — no per-user map_groups.
+    event_id breaks exact-timestamp ties deterministically on both
+    sides."""
     ds = _read(sf_dir, "events",
                ["user_id", "ts", "event_id", "event_type"], split=True)
-    first = sorted_dedup(ds, ["user_id", "ts", "event_id"], ["user_id"],
-                         coalesce=(1,))
+    first = sorted_dedup(ds, ["user_id", "ts", "event_id"], ["user_id"])
     return first.map_batches(
         lambda df: df[["user_id", "ts", "event_id", "event_type"]].astype(
             {"user_id": "int64", "event_id": "int64"}
