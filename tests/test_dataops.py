@@ -1256,3 +1256,37 @@ class TestPrepareTrainingCorpus:
             else:
                 assert got.loc[s, "n_docs"] == nd
                 assert got.loc[s, "total_tokens"] == tt
+
+
+class TestCopartitionAttach:
+    def test_attach_dedups_and_inner_joins(self, ray_session):
+        """The tagged-union attach exchange must (a) collapse duplicate
+        candidate pairs exactly (key-complete blocks), (b) attach the
+        right text per key, and (c) drop pairs whose key has no doc row
+        (inner semantics)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kit_ray.pipelines.dataops import _copartition_attach
+
+        pairs = pd.DataFrame({
+            "doc_id_a": [1, 1, 2, 9],   # 9 has no doc row
+            "doc_id_b": [2, 2, 3, 1],   # (1,2) duplicated across blocks
+        })
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["one", "two", "three"],
+        })
+        out = _copartition_attach(
+            rd.from_pandas(pairs).repartition(3),
+            rd.from_pandas(docs).repartition(2),
+            "doc_id_a", carry=[("doc_id_b", pa.int64())],
+            text_out="text_a", nparts=3, dedup_carry=["doc_id_b"],
+        ).to_pandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+        want = pd.DataFrame({
+            "doc_id_a": [1, 2],
+            "doc_id_b": [2, 3],
+            "text_a": ["one", "two"],
+        })
+        pd.testing.assert_frame_equal(
+            out.astype({"doc_id_a": "int64", "doc_id_b": "int64"}), want)
