@@ -90,7 +90,17 @@ def run_bench() -> dict:
         # way they would on a real multi-hour cluster job.
         cfg = CorpusConfig(seed=42, n_hosts=600, pages_per_host=1000,
                            image_scale=3)
-        out = f"/tmp/kit_ray_bench/{os.path.basename(SF_DIR.rstrip('/'))}"
+        # RAM-backed output for the N-vs-4N criterion: each leg writes
+        # ~13 GB of image parquet, and the sandbox's ONE shared volume
+        # sustains ~100 MB/s (measured, dd fdatasync) with co-tenant
+        # contention on top — an identical 32-CPU leg measured 51 s
+        # writing to /dev/shm vs 158 s writing to /tmp back-to-back in
+        # the same window. A real 4N cluster has 4N node-local disks,
+        # so scaling the engine against one shared volume measures the
+        # volume, not the engine. tmpfs here stands in for
+        # disk-per-node; the non-scaling headline keeps /tmp (it also
+        # exercises resume-from-disk).
+        out = f"/dev/shm/kit_ray_bench/{os.path.basename(SF_DIR.rstrip('/'))}"
         n_crawl_runs = 1
     else:
         cfg = config_for_sf_dir(SF_DIR)
@@ -121,6 +131,10 @@ def run_bench() -> dict:
             open(f"{out}/images/bucket=0/_lineage.json"))["wall_time_s"]
     except OSError:
         pass
+    if scaling_mode:
+        # tmpfs output: free the ~13 GB before the next leg starts so
+        # it never crowds the object store's /dev/shm budget.
+        shutil.rmtree(out, ignore_errors=True)
 
     # --- data-ops queries: best-of-two each (machine noise on a shared
     # box is comparable to the per-query seconds; min is the standard
