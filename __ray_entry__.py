@@ -161,9 +161,13 @@ def _q_frontier_rounds(sf_dir: str):
         for i, wave in enumerate(waves, 1):
             # crawl_round returns a materialized Dataset (object-store
             # resident); collecting it here is the QUERY's choice at
-            # sf0.01, not an engine-side funnel.
+            # sf0.01, not an engine-side funnel. The round arrives
+            # UNSORTED with order keys (sort-at-read contract,
+            # streaming.ROUND_SCHEDULE_COLUMNS): this consumer sorts.
             r = crawl_round(cfg, state, wave, host_rank_offset=offset,
                             concurrency=4).to_pandas()
+            r = r.sort_values(["tick", "host_rank", "stack_rank", "pos"],
+                              kind="stable").reset_index(drop=True)
             frames.append(r.assign(round=i))
             offset += len(wave)
     finally:
@@ -227,37 +231,30 @@ def _q_crawl_phash_neardup(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Dict ORDER is part of the driver contract: the driver's
+    correctness gate records exactly the FIRST 50 entries, so every
+    SQL-oracled query (42 of them — each has an oracle_sql() row) sits
+    in the window, followed by the 8 crawl-protocol queries whose
+    driver row is a rows-only smoke check (their correctness gate is
+    the ported-reference pytest suite + the single-process traversal
+    oracle). The 9 no_oracle-by-design rows (sketches, LSH variants
+    whose pytest gate is an exhaustive scan, round-trips) sit past the
+    window — a driver row adds nothing for them."""
     from kit_ray.pipelines import dataops as Q
 
     return {
-        # --- crawl engine (protocol semantics; oracle = pytest suite) ---
-        "crawl_order": _q_crawl_order,
-        "robots_cache": _q_robots_cache,
-        "sitemap_entries": _q_sitemap_entries,
-        "crawl_image_features": _q_crawl_image_features,
-        "crawl_thumbnails": _q_crawl_thumbnails,
-        "seed_canonicalize": _q_seed_canonicalize,
-        "recrawl_due": Q.recrawl_due,
-        "sitemap_roundtrip": _q_sitemap_roundtrip,
-        "frontier_rounds": _q_frontier_rounds,
-        "crawl_phash_neardup": _q_crawl_phash_neardup,
-        # --- text analysis ---
+        # --- SQL-oracled (hash-gated by the driver): text analysis ---
         "token_counts": Q.token_counts,
         "char_class_counts": Q.char_class_counts,
         "doc_quality": Q.doc_quality,
         "lang_id": Q.lang_id_preds,
-        "fingerprints": Q.fingerprints,
-        # --- dedup ---
+        # --- dedup / similarity ---
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh_pairs": Q.minhash_lsh_pairs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
-        "simhash": Q.simhashes,
-        "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
-        "embedding_neardup_ivf": Q.embedding_neardup_ivf,
-        # --- similarity search ---
         "ann_topk": Q.ann_topk,
-        "ann_ivf": Q.ann_ivf,
+        "jaccard_dup_clusters": Q.jaccard_dup_clusters,
         # --- relational / windows ---
         "docs_by_lang": Q.docs_by_lang,
         "tpch_q1": Q.tpch_q1,
@@ -278,9 +275,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartiles_by_type": Q.value_quartiles_by_type,
         "purchase_context_events": Q.purchase_context_events,
         "price_qty_corr_by_flag": Q.price_qty_corr_by_flag,
-        "jaccard_dup_clusters": Q.jaccard_dup_clusters,
-        "approx_quantiles_by_type": Q.approx_quantiles_by_type,
-        "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
         "train_test_split_docs": Q.train_test_split_docs,
         "sample_events_per_type": Q.sample_events_per_type,
         "top_terms": Q.top_terms,
@@ -294,6 +288,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_items": Q.top_revenue_items,
         "unique_users_per_type": Q.unique_users_per_type,
         "first_event_per_user": Q.first_event_per_user,
+        # --- crawl engine (rows-only driver smoke; oracle = pytest) ---
+        "crawl_order": _q_crawl_order,
+        "robots_cache": _q_robots_cache,
+        "sitemap_entries": _q_sitemap_entries,
+        "crawl_image_features": _q_crawl_image_features,
+        "crawl_thumbnails": _q_crawl_thumbnails,
+        "seed_canonicalize": _q_seed_canonicalize,
+        "recrawl_due": Q.recrawl_due,
+        "frontier_rounds": _q_frontier_rounds,
+        # ---------------- past the driver's 50-row window ----------------
+        "sitemap_roundtrip": _q_sitemap_roundtrip,
+        "crawl_phash_neardup": _q_crawl_phash_neardup,
+        "fingerprints": Q.fingerprints,
+        "simhash": Q.simhashes,
+        "simhash_neardup": Q.simhash_neardup,
+        "embedding_neardup_ivf": Q.embedding_neardup_ivf,
+        "ann_ivf": Q.ann_ivf,
+        "approx_quantiles_by_type": Q.approx_quantiles_by_type,
+        "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
     }
 
 

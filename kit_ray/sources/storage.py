@@ -104,14 +104,19 @@ def manifest_path(dir_path: str) -> str:
 
 
 def write_manifest(dir_path: str, *, stage: str, digest: str, rows: int,
-                   schema: list[str], started: float, extra: dict | None = None):
+                   schema: list[str], started: float, extra: dict | None = None,
+                   ended: float | None = None):
+    """``ended`` pins the stage's COMPUTE end time when the manifest is
+    written later by an overlapped background writer — otherwise the
+    wall_time_s diagnostic (read by bench.py per stage) would be
+    inflated by whatever ran concurrently with the write."""
     os.makedirs(dir_path, exist_ok=True)
     m = {
         "stage": stage,
         "config_digest": digest,
         "rows": rows,
         "schema": schema,
-        "wall_time_s": round(time.time() - started, 3),
+        "wall_time_s": round((ended or time.time()) - started, 3),
         "completed_at": time.time(),
     }
     if extra:

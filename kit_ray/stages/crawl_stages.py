@@ -24,6 +24,8 @@ map at all. ``policy_mode="auto"`` picks by host count.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -34,6 +36,57 @@ from ..kernels.robots import Robots
 from ..kernels.traverse import traverse_host
 from ..kernels.urlkit import canonical_url, try_parse
 from ..synth import USER_AGENT, CorpusConfig
+
+# ---------------------------------------------------------------------------
+# Task-pool form of a stage class.
+#
+# Ray worker PROCESSES persist across tasks, so caching the constructed
+# stage per worker gives the actor pool's parse-once/compile-once
+# semantics with zero pool startup, no min/max tuning, and full
+# elasticity (tasks use every free CPU; an actor pool is capped at its
+# max and leaves its reserved cores idle between batches). Measured on
+# the 443k-URL scaling corpus: robots stage 0.7 -> 0.2 s, traversal
+# 10.6 -> 6.5 s (8 CPUs) / 4.6 -> 3.6 s (32), fetch 23.6 -> 14.8 s at
+# 32 CPUs — the fetch win is structural: a TASK map fuses with the
+# Write sink, so the 13 GB image payload goes generator -> parquet
+# within one task instead of taking an extra object-store round trip.
+#
+# Heavy-state stages stay actor pools (ImageDecode/ImageResize codec
+# state, CoPartitionedGate's per-partition policy cache, the seen-set
+# and politeness authorities): that is the north-rule actor-pool
+# pattern where it actually pays.
+# ---------------------------------------------------------------------------
+
+_WORKER_STAGES: dict = {}
+
+
+def _state_key(v) -> str:
+    if isinstance(v, ray.ObjectRef):
+        return v.hex()  # identity of the broadcast, not its bytes
+    return repr(v)
+
+
+def _run_stage_task(batch, *, _key, _cls, _ctor):
+    st = _WORKER_STAGES.get(_key)
+    if st is None:
+        # Bounded FIFO cache: a worker interleaves tasks of several
+        # stages of the same pipeline (plus other cfgs in tests);
+        # evicting one entry — never clearing — keeps the hot stages'
+        # compiled state resident.
+        while len(_WORKER_STAGES) >= 8:
+            _WORKER_STAGES.pop(next(iter(_WORKER_STAGES)))
+        st = _WORKER_STAGES[_key] = _cls(**_ctor)
+    return st(batch)
+
+
+def stage_task(cls, **ctor_kwargs):
+    """Return a plain-function form of stage ``cls`` for task-based
+    ``map_batches``: construction runs once per worker process per
+    distinct (class, ctor args) and is cached in ``_WORKER_STAGES``."""
+    key = (cls.__qualname__,
+           tuple(sorted((k, _state_key(v)) for k, v in ctor_kwargs.items())))
+    return functools.partial(_run_stage_task, _key=key, _cls=cls,
+                             _ctor=ctor_kwargs)
 
 ENTRY_SCHEMA = pa.schema(
     [

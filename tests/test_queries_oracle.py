@@ -99,6 +99,16 @@ def test_all_oracled_queries(entry_mod):
     assert not failures, "\n".join(failures)
 
 
+def test_oracled_queries_inside_driver_window(entry_mod):
+    """The driver's correctness gate records exactly the first 50
+    entries of queries(): every SQL-oracled query must sit inside that
+    window or it never receives a driver hash row (round-4 verdict #1)."""
+    order = list(entry_mod.queries())
+    oracled = set(entry_mod.oracle_sql())
+    outside = oracled - set(order[:50])
+    assert not outside, f"SQL-oracled queries past the 50-row window: {outside}"
+
+
 def test_rows_only_queries_run(entry_mod):
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()

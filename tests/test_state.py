@@ -204,13 +204,21 @@ class TestIncrementalFrontier:
         waves = [hosts[:5], hosts[3:]]  # overlap: hosts 3-4 repeat
         want = _stream_reference(cfg, waves)
 
+        from kit_ray.pipelines.streaming import ROUND_SCHEDULE_COLUMNS
+
         state = FrontierState(n_seen_shards=4, n_polite_shards=2)
         try:
             offset = 0
             for wave, wround in zip(waves, want):
-                got = crawl_round(cfg, state, wave, host_rank_offset=offset,
-                                  concurrency=2,
-                                  policy_mode=policy_mode).to_pandas()
+                ds = crawl_round(cfg, state, wave, host_rank_offset=offset,
+                                 concurrency=2, policy_mode=policy_mode)
+                # Fixed cross-mode schema contract (ADVICE r4): rounds
+                # written under broadcast and partitioned policy modes
+                # must be column-identical.
+                assert ds.schema().names == ROUND_SCHEDULE_COLUMNS
+                # Sort-at-read: the round arrives unsorted w/ order keys.
+                got = ds.to_pandas().sort_values(
+                    ["tick", "host_rank", "stack_rank", "pos"], kind="stable")
                 got_rows = list(zip(got["url"], got["host"], got["tick"],
                                     got["host_rank"], got["stack_rank"],
                                     got["pos"]))
@@ -258,8 +266,9 @@ class TestIncrementalFrontier:
             c.shutdown()
 
         cols = ["url", "host", "tick", "host_rank", "stack_rank", "pos"]
-        assert got[cols].reset_index(drop=True).equals(
-            want[cols].reset_index(drop=True)
+        key = ["tick", "host_rank", "stack_rank", "pos"]
+        assert got[cols].sort_values(key).reset_index(drop=True).equals(
+            want[cols].sort_values(key).reset_index(drop=True)
         )
 
     def test_two_rounds_and_restore(self, ray_session, tmp_path):
