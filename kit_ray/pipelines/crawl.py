@@ -803,7 +803,14 @@ def _crawl_impl(
         # runs read the checkpoint.
         order_src = (final_mat if final_mat is not None else
                      storage.strip_schema_metadata(rd.read_parquet(order_dir)))
-        order_ds = order_src.repartition(par * 2)
+        # par*8, not par*2: each fused fetch->write task ends with its
+        # parquet flush, which cannot overlap ITS OWN compute — at
+        # par*2 the last wave's writes are ~half pure write tail
+        # (measured 22.5 s at 64 blocks vs 15.8 s at 256, 32 CPUs,
+        # 443k URLs / 13.5 GB). Eight waves keep the tail ~1/8 of the
+        # write cost while blocks stay ~50 MB at the bench scale (well
+        # above parquet's small-file overhead regime).
+        order_ds = order_src.repartition(par * 8)
         todo_arr = pa.array(sorted(todo_set), pa.int32())
         pending = order_ds.map_batches(
             lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=todo_arr)),

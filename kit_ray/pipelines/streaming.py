@@ -359,6 +359,10 @@ def fetch_round(round_ds, cfg: CorpusConfig, out_dir: str,
     rdir = os.path.join(out_dir, f"images_round={round_no}")
     # Task pool: fuses with the Write sink (payload never takes an
     # extra object-store hop) — see the batch pipeline's stage-3 note.
+    # concurrency*8 blocks for the same write-tail reason as batch
+    # stage 3: a fused task's trailing parquet flush can't overlap its
+    # own compute, so more/smaller waves shrink the pure-write tail.
+    round_ds = round_ds.repartition(max(1, concurrency * 8))
     images = round_ds.map_batches(
         _stage_task(PageFetch, cfg=cfg, n_buckets=n_buckets),
         batch_format="pyarrow",
