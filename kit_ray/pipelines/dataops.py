@@ -25,10 +25,8 @@ from ..functions import dedup as D
 from ..functions import text as T
 from ..stages.data_stages import (
     BruteForceTopK,
-    LangId,
     MinHasher,
     SimHasher,
-    TextFeatures,
 )
 
 
@@ -198,9 +196,17 @@ def doc_quality(sf_dir: str):
     composite score). Every column is DuckDB-expressible (regex counts,
     list_filter stopword hits, least/greatest clipping) — float columns
     rounded to 6dp on both sides for the exact value-hash."""
+    # Task pool: the stage's only state is module imports (cached per
+    # worker process); the actor pool's startup dominated this ~2 s
+    # stage (measured 1.92 -> 0.62 s at sf0.1/32 CPUs with the
+    # vectorized stopword kernel).
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import text_stats
+
+        return text_stats(df)
+
     ds = _read(sf_dir, "documents").map_batches(
-        TextFeatures, batch_format="pandas",
-        concurrency=(1, max(4, _par() // 2)),
+        feats, batch_format="pandas",
     )
 
     def round6(df: pd.DataFrame) -> pd.DataFrame:
@@ -213,8 +219,16 @@ def doc_quality(sf_dir: str):
 
 
 def lang_id_preds(sf_dir: str):
+    # Task pool + vectorized stopword vote (see doc_quality note).
+    def preds(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import lang_id
+
+        out = df[["doc_id"]].copy()
+        out["pred_lang"] = lang_id(df["text"])
+        return out
+
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, max(4, _par() // 2))
+        preds, batch_format="pandas"
     )
 
 
