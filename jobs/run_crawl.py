@@ -53,6 +53,12 @@ def main() -> int:
     p.add_argument("--seed-urls", action="store_true",
                    help="derive the host list from the messy seed-URL list "
                         "(exercises the canonicalize/create_url entry stage)")
+    p.add_argument("--seeds-parquet", default=None,
+                   help="path to a (url, seed_rank) parquet seed table — "
+                        "the Dataset-native stage-1 input: hosts and dense "
+                        "first-appearance ranks derive fully distributed, "
+                        "no seed/host list on the driver (the ≫10^6-host "
+                        "path)")
     args = p.parse_args()
 
     import ray
@@ -92,6 +98,7 @@ def main() -> int:
         concurrency=args.concurrency,
         budget_per_host=args.budget_per_host,
         policy_mode=args.policy_mode,
+        seeds_parquet=args.seeds_parquet,
     )
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
