@@ -54,13 +54,35 @@ from ..stages.crawl_stages import (
 from ..synth import CorpusConfig
 
 
+def _seeds_fingerprint(seeds_parquet: str | None):
+    """(path, size, mtime_ns) per file — the digest must capture the
+    seed TABLE's identity, not just its path string, or a resume after
+    the file is regenerated in place silently reuses a schedule built
+    from the stale seeds. Size+mtime is the rsync-style fingerprint: a
+    content hash of a ≫10^6-row seed table would read it twice per
+    run."""
+    if seeds_parquet is None:
+        return None
+    paths = [seeds_parquet]
+    if os.path.isdir(seeds_parquet):
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(seeds_parquet) for f in fs
+            if not f.startswith("_"))
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append((p, st.st_size, st.st_mtime_ns))
+    return out
+
+
 def _digest(cfg: CorpusConfig, n_buckets: int, budget_per_host=None,
             seeds_parquet: str | None = None) -> str:
     # "v" bumps when a stage's output schema changes (v2 added the
     # bucket column to crawl_order) so older checkpoints invalidate.
     payload = json.dumps(
         {"cfg": asdict(cfg), "n_buckets": n_buckets, "budget": budget_per_host,
-         "seeds": seeds_parquet, "v": 2},
+         "seeds": _seeds_fingerprint(seeds_parquet), "v": 2},
         sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -384,6 +406,11 @@ def ranked_hosts_from_seeds(seeds_ds, par: int = 4):
     meta = ordered.map_batches(
         edges, batch_format="pandas", batch_size=None
     ).to_pandas()  # one row per non-empty block, in block order
+    if meta.empty:  # every seed invalid -> empty host table
+        return rd.from_items([]).map_batches(
+            lambda df: pd.DataFrame({"host": pd.Series(dtype="object"),
+                                     "host_rank": pd.Series(dtype="int64")}),
+            batch_format="pandas")
     meta["offset"] = meta["n"].cumsum() - meta["n"]
     off_ref = ray.put(dict(zip(meta["first"], meta["offset"])))
 
@@ -447,7 +474,7 @@ def crawl(
     except BaseException as e:
         for th, box in writers:  # pragma: no cover - error-path forensics
             th.join(timeout=30)
-            if box:
+            if box and box[0] is not e:  # e may BE this writer's error
                 e.add_note(
                     f"overlapped checkpoint writer {th.name} also failed: "
                     f"{box[0]!r}")

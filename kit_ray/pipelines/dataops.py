@@ -23,10 +23,13 @@ import ray.data as rd
 
 from ..functions import dedup as D
 from ..functions import text as T
+from ..stages.crawl_stages import stage_task
 from ..stages.data_stages import (
     BruteForceTopK,
+    LangId,
     MinHasher,
     SimHasher,
+    TextFeatures,
 )
 
 
@@ -196,17 +199,12 @@ def doc_quality(sf_dir: str):
     composite score). Every column is DuckDB-expressible (regex counts,
     list_filter stopword hits, least/greatest clipping) — float columns
     rounded to 6dp on both sides for the exact value-hash."""
-    # Task pool: the stage's only state is module imports (cached per
-    # worker process); the actor pool's startup dominated this ~2 s
-    # stage (measured 1.92 -> 0.62 s at sf0.1/32 CPUs with the
-    # vectorized stopword kernel).
-    def feats(df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.text import text_stats
-
-        return text_stats(df)
-
+    # Task pool (stage_task): the stage's only state is module imports
+    # (cached per worker process); the actor pool's startup dominated
+    # this ~2 s stage (1.92 -> 1.16 s at sf0.1/32 CPUs together with
+    # the vectorized stopword kernel).
     ds = _read(sf_dir, "documents").map_batches(
-        feats, batch_format="pandas",
+        stage_task(TextFeatures), batch_format="pandas",
     )
 
     def round6(df: pd.DataFrame) -> pd.DataFrame:
@@ -220,15 +218,8 @@ def doc_quality(sf_dir: str):
 
 def lang_id_preds(sf_dir: str):
     # Task pool + vectorized stopword vote (see doc_quality note).
-    def preds(df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.text import lang_id
-
-        out = df[["doc_id"]].copy()
-        out["pred_lang"] = lang_id(df["text"])
-        return out
-
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        preds, batch_format="pandas"
+        stage_task(LangId), batch_format="pandas"
     )
 
 

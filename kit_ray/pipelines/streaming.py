@@ -357,6 +357,9 @@ def fetch_round(round_ds, cfg: CorpusConfig, out_dir: str,
     from ..stages.crawl_stages import stage_task as _stage_task
 
     rdir = os.path.join(out_dir, f"images_round={round_no}")
+    # Count the incoming MATERIALIZED round first (free metadata read);
+    # counting the lazy repartition below would re-run the shuffle.
+    rows = round_ds.count()
     # Task pool: fuses with the Write sink (payload never takes an
     # extra object-store hop) — see the batch pipeline's stage-3 note.
     # concurrency*8 blocks for the same write-tail reason as batch
@@ -375,7 +378,6 @@ def fetch_round(round_ds, cfg: CorpusConfig, out_dir: str,
     os.makedirs(rdir, exist_ok=True)
     import time
 
-    rows = round_ds.count()
     storage.write_manifest(
         rdir, stage="round_images", digest=f"round-{round_no}", rows=rows,
         schema=["image_id", "bytes", "w", "h", "fmt", "caption", "phash",

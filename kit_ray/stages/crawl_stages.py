@@ -63,7 +63,16 @@ _WORKER_STAGES: dict = {}
 def _state_key(v) -> str:
     if isinstance(v, ray.ObjectRef):
         return v.hex()  # identity of the broadcast, not its bytes
-    return repr(v)
+    r = repr(v)
+    if " object at 0x" in r:
+        # A default object repr keys by ADDRESS: after address reuse,
+        # two different objects would collide and a worker would serve
+        # a stage built from the other object's state. Require a
+        # value-based repr (dataclass, primitive) or an ObjectRef.
+        raise TypeError(
+            f"stage_task ctor kwarg {type(v).__name__} has no value-based "
+            "repr; pass a dataclass/primitive or broadcast it via ray.put")
+    return r
 
 
 def _run_stage_task(batch, *, _key, _cls, _ctor):

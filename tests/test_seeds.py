@@ -90,3 +90,37 @@ def test_canonicalize_drops_and_strips(ray_session):
     assert out.loc[1, "url"] == "https://b.example/"
     assert out.loc[2, "url_key"] == "https://e.example/p"
     assert list(out["seed_rank"]) == [0, 1, 5]
+
+
+def test_all_invalid_seeds_yield_empty_host_table(ray_session):
+    """Every seed invalid -> empty list, not a KeyError (regression:
+    the distributed rank path crashed on a zero-block edges table)."""
+    from kit_ray.pipelines.crawl import hosts_from_seed_urls
+
+    assert hosts_from_seed_urls(["not a url", "::::", "ftp//x"], par=2) == []
+    assert hosts_from_seed_urls([], par=2) == []
+
+
+def test_seeds_digest_tracks_file_contents(tmp_path):
+    """Regenerating the seed table in place must invalidate the crawl
+    digest (resume correctness): the fingerprint covers size+mtime,
+    not just the path string."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kit_ray.pipelines.crawl import _digest
+    from kit_ray.synth import CorpusConfig
+
+    cfg = CorpusConfig(seed=1, n_hosts=2, pages_per_host=2)
+    p = str(tmp_path / "seeds.parquet")
+    pq.write_table(pa.table({"url": ["https://a.example/"],
+                             "seed_rank": [0]}), p)
+    d1 = _digest(cfg, 4, seeds_parquet=p)
+    pq.write_table(pa.table({"url": ["https://b.example/", "https://c.example/"],
+                             "seed_rank": [0, 1]}), p)
+    os.utime(p, ns=(1, 1))  # force distinct mtime even on coarse clocks
+    d2 = _digest(cfg, 4, seeds_parquet=p)
+    assert d1 != d2
+    assert _digest(cfg, 4) != d1  # with-seeds differs from without
