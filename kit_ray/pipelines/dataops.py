@@ -346,10 +346,11 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
         num_partitions = max(2, min(_join_parts(None), rows // 2_000_000 + 1))
 
     banded = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        # Task pool: MinHasher's permutation params are seeded (same
+        # per worker) and cheap to derive once per process; the actor
+        # pool's startup dominated the short sf-bench stage.
+        stage_task(MinHasher, num_perm=num_perm, bands=bands),
         batch_format="pyarrow",
-        concurrency=(max(1, par // 4), max(2, (3 * par) // 4)),
     ).materialize()  # small int rows (bands per doc); reused twice below
 
     left = banded.map_batches(
@@ -404,7 +405,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
 
 def simhashes(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"], split=True).map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, max(4, _par() // 2))
+        stage_task(SimHasher), batch_format="pandas"
     )
 
 
@@ -514,8 +515,7 @@ def phash_copy_pairs(images_dir: str, max_hamming: int = 7, chunks: int = 8,
         columns=["image_id", "bytes", "fmt", "w", "h", "phash"],
     ))
     variants = imgs.map_batches(
-        PhashVariants, batch_format="pyarrow", batch_size=128,
-        concurrency=(1, max(2, _par() // 2)),
+        stage_task(PhashVariants), batch_format="pyarrow", batch_size=128,
     )
     return hamming_pairs_64(
         variants, "img_key", "ph", max_hamming, chunks,
@@ -579,12 +579,10 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.5,
         # Materialize the (small) pair result so the chunk store can be
         # deleted here instead of leaking one table copy per call.
         return tasks.map_batches(
-            CrossChunkScore,
-            fn_constructor_kwargs={"chunk_dir": chunk_dir,
-                                   "threshold": threshold},
+            stage_task(CrossChunkScore, chunk_dir=chunk_dir,
+                       threshold=threshold),
             batch_format="pandas",
             batch_size=1,
-            concurrency=(1, 8),
         ).materialize()
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
@@ -636,12 +634,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
         n_tasks = n_chunks * (n_chunks + 1) // 2
         tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
         return tasks.map_batches(
-            CrossChunkJaccard,
-            fn_constructor_kwargs={"chunk_dir": chunk_dir,
-                                   "threshold": threshold, "k": k},
+            stage_task(CrossChunkJaccard, chunk_dir=chunk_dir,
+                       threshold=threshold, k=k),
             batch_format="pandas",
             batch_size=1,
-            concurrency=(1, 8),
         ).materialize()
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
@@ -721,11 +717,9 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     ref = ray.put({"ids": q_ids, "vecs": q_vecs})
 
     partials = emb.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        stage_task(BruteForceTopK, queries_ref=ref, k=k),
         batch_format="pandas",
         batch_size=512,
-        concurrency=(1, 4),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -765,11 +759,9 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_cells: int = 16,
     ref = ray.put({"ids": q_ids, "vecs": q_vecs, "cents": cents, "probe": probe})
 
     partials = emb.map_batches(
-        IvfTopK,
-        fn_constructor_kwargs={"ref": ref, "k": k},
+        stage_task(IvfTopK, ref=ref, k=k),
         batch_format="pandas",
         batch_size=512,
-        concurrency=(1, 4),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
