@@ -321,7 +321,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm=128, bands=16, threshold=0.8,
     materialization anywhere in the plan):
 
       1. shingle -> signature -> exploded (doc_id, band, band_key) rows
-         (MinHasher actor pool; materialized once, reused by both join
+         (MinHasher task pool; materialized once, reused by both join
          sides so the signatures aren't computed twice);
       2. candidate pairs via a hash-partitioned SELF-JOIN on
          (band, band_key) — buckets are tiny by construction, so the
@@ -737,7 +737,7 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_cells: int = 16,
     """IVF top-k, distributed: k-means centroids fit on a bounded SAMPLE
     (driver-side, tiny — the only non-Dataset step), then broadcast;
     cell assignment, probing and scoring all happen inside
-    ``map_batches`` (IvfTopK actor pool) with a tiny per-query merge —
+    ``map_batches`` (IvfTopK task pool) with a tiny per-query merge —
     the BruteForceTopK shape restricted to probed cells. Same schema as
     ann_topk; recall < 1.0 by design (pinned by pytest)."""
     from ..functions.ann import ivf_probe_cells, kmeans_fit

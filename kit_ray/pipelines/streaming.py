@@ -347,7 +347,7 @@ def fetch_round(round_ds, cfg: CorpusConfig, out_dir: str,
                 fetch_batch_size: int = 128, concurrency: int = 4):
     """Fetch a round's scheduled URLs into the image-table layout
     (``images_round=K/bucket=J/``) — the streaming counterpart of the
-    batch pipeline's stage 3, reusing the same PageFetch actor pool and
+    batch pipeline's stage 3, reusing the same PageFetch task pool and
     hash(host) bucket partitioning (PageFetch derives the bucket when
     the schedule lacks the column). Returns (rows, dir)."""
     import os
