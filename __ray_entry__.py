@@ -100,20 +100,26 @@ def _q_crawl_image_features(sf_dir: str):
     """Multimodal decode stage over the crawl's fetched images."""
     import ray.data as rd
 
+    from kit_ray.stages.crawl_stages import stage_task
     from kit_ray.stages.data_stages import ImageDecode
 
     out = _run_crawl(sf_dir)
     imgs = rd.read_parquet(
         os.path.join(out, "images"), file_extensions=["parquet"]
     )
+    # Task pool (codec state = module imports, cached per worker);
+    # the (2, 8)-actor pool paid startup and capped width on this
+    # short stage. On a cluster with heavy codec models, swap back to
+    # the actor-pool form (the class is pool-compatible as written).
     return imgs.map_batches(
-        ImageDecode, batch_format="pyarrow", batch_size=128, concurrency=(2, 8)
+        stage_task(ImageDecode), batch_format="pyarrow", batch_size=128
     )
 
 
 def _q_crawl_thumbnails(sf_dir: str):
     import ray.data as rd
 
+    from kit_ray.stages.crawl_stages import stage_task
     from kit_ray.stages.data_stages import ImageResize
 
     out = _run_crawl(sf_dir)
@@ -121,7 +127,7 @@ def _q_crawl_thumbnails(sf_dir: str):
         os.path.join(out, "images"), file_extensions=["parquet"]
     )
     return imgs.map_batches(
-        ImageResize, batch_format="pyarrow", batch_size=128, concurrency=(2, 8)
+        stage_task(ImageResize), batch_format="pyarrow", batch_size=128
     )
 
 
