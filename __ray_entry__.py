@@ -87,12 +87,12 @@ def _q_sitemap_entries(sf_dir: str):
     robots = rd.read_parquet(
         os.path.join(out, "robots_cache"), file_extensions=["parquet"]
     )
+    from kit_ray.stages.crawl_stages import stage_task
+
     return robots.select_columns(["host", "host_rank", "sitemaps"]).map_batches(
-        HostTraverse,
-        fn_constructor_kwargs={"cfg": cfg},
+        stage_task(HostTraverse, cfg=cfg),
         batch_format="pyarrow",
         batch_size=2,
-        concurrency=(1, 4),
     )
 
 
