@@ -578,11 +578,18 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.5,
         tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
         # Materialize the (small) pair result so the chunk store can be
         # deleted here instead of leaking one table copy per call.
+        # Actor pool ON PURPOSE (unlike the trivial-state task-pool
+        # stages): the per-actor chunk cache (LRU 4) is the stage's
+        # real state — a bounded pool keeps pair tasks drawing from
+        # few caches (locality), and pool teardown releases the cached
+        # chunks when the chunk store is deleted below.
         return tasks.map_batches(
-            stage_task(CrossChunkScore, chunk_dir=chunk_dir,
-                       threshold=threshold),
+            CrossChunkScore,
+            fn_constructor_kwargs={"chunk_dir": chunk_dir,
+                                   "threshold": threshold},
             batch_format="pandas",
             batch_size=1,
+            concurrency=(1, 8),
         ).materialize()
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
@@ -633,11 +640,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
         )
         n_tasks = n_chunks * (n_chunks + 1) // 2
         tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
+        # Actor pool on purpose — see embedding_neardup's chunk-cache
+        # locality note.
         return tasks.map_batches(
-            stage_task(CrossChunkJaccard, chunk_dir=chunk_dir,
-                       threshold=threshold, k=k),
+            CrossChunkJaccard,
+            fn_constructor_kwargs={"chunk_dir": chunk_dir,
+                                   "threshold": threshold, "k": k},
             batch_format="pandas",
             batch_size=1,
+            concurrency=(1, 8),
         ).materialize()
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)

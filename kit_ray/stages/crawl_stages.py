@@ -51,10 +51,14 @@ from ..synth import USER_AGENT, CorpusConfig
 # Write sink, so the 13 GB image payload goes generator -> parquet
 # within one task instead of taking an extra object-store round trip.
 #
-# Heavy-state stages stay actor pools (ImageDecode/ImageResize codec
-# state, CoPartitionedGate's per-partition policy cache, the seen-set
-# and politeness authorities): that is the north-rule actor-pool
-# pattern where it actually pays.
+# Stages whose state is a WORKING CACHE stay actor pools — a bounded
+# pool concentrates tasks on few caches (locality) and teardown frees
+# them: CrossChunkScore/Jaccard's chunk caches, CoPartitionedGate's
+# per-partition policy cache, and the seen-set/politeness authorities
+# (actors proper). That is the north-rule actor-pool pattern where it
+# actually pays; stages whose "state" is just module imports or a
+# small broadcast (robots parse, traversal, fetch, codecs, hashers)
+# run as task pools via stage_task.
 # ---------------------------------------------------------------------------
 
 _WORKER_STAGES: dict = {}

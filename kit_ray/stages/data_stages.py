@@ -1,7 +1,11 @@
-"""Stateful actor-pool stages for the training-data pipelines.
+"""Stateful stage classes for the training-data pipelines.
 
 Same pattern as the crawl stages: compile/load once in ``__init__``,
-vectorized work per batch in ``__call__``.
+vectorized work per batch in ``__call__``. Most run as TASK pools via
+``stage_task`` (construction cached per worker process — their state
+is imports/params); the chunk-cache stages (CrossChunkScore/Jaccard)
+run as bounded actor pools for cache locality. Every class remains
+actor-pool compatible as written.
 """
 
 from __future__ import annotations

@@ -31,6 +31,7 @@ def _et_extract(data: bytes, root: str, rec: str) -> list[dict]:
     """Naive ElementTree extraction: loc/lastmod/priority/changefreq
     text per record, namespace-agnostic."""
     tree = ET.fromstring(data.decode("utf-8").lstrip("﻿"))
+    assert tree.tag.removeprefix(_NS) == root  # builder emitted right root
     out = []
     for el in tree:
         tag = el.tag.removeprefix(_NS)
@@ -74,6 +75,7 @@ def test_urlset_parser_matches_elementtree(rows):
         if mod is not None:
             e.modified = datetime(2020 + mod % 6, 1 + mod % 12,
                                   1 + mod % 28, mod % 24, mod % 60,
+                                  (mod * 7) % 60,  # nonzero seconds
                                   tzinfo=timezone.utc)
         e.priority = pri
         e.frequency = freq
@@ -88,9 +90,10 @@ def test_urlset_parser_matches_elementtree(rows):
         if o.modified is None:
             assert "lastmod" not in t
         else:
-            # Both sides re-parse the serialized ISO-8601 text.
-            assert t["lastmod"].startswith(
-                o.modified.strftime("%Y-%m-%dT%H:%M"))
+            # Full second-precision differential: our parser's datetime
+            # must equal ET's text re-parsed independently.
+            et_dt = datetime.fromisoformat(t["lastmod"])
+            assert o.modified == et_dt
         if o.priority is None:
             assert "priority" not in t
         else:
