@@ -578,18 +578,21 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.5,
         tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
         # Materialize the (small) pair result so the chunk store can be
         # deleted here instead of leaking one table copy per call.
-        # Actor pool ON PURPOSE (unlike the trivial-state task-pool
-        # stages): the per-actor chunk cache (LRU 4) is the stage's
-        # real state — a bounded pool keeps pair tasks drawing from
-        # few caches (locality), and pool teardown releases the cached
-        # chunks when the chunk store is deleted below.
+        # Task pool, MEASURED over the actor-pool alternative: the
+        # (1,8) pool cost 2.37 s vs 1.02 s here and 10.3 s vs 3.5 s in
+        # ngram_jaccard_pairs at sf0.1/32 CPUs (startup + the 8-actor
+        # cap outweigh its cache locality at this scale). The
+        # per-worker stage cache still gives LRU(4) chunk hits when a
+        # worker draws overlapping pairs; residency after the chunk
+        # store's deletion is bounded (≤4 chunks × ≤8 cached stages
+        # per worker, FIFO-evicted). At ≫100 chunk counts, re-reads
+        # grow O(pairs) and a bounded pool with task-affinity becomes
+        # the right form again — revisit with a measurement then.
         return tasks.map_batches(
-            CrossChunkScore,
-            fn_constructor_kwargs={"chunk_dir": chunk_dir,
-                                   "threshold": threshold},
+            stage_task(CrossChunkScore, chunk_dir=chunk_dir,
+                       threshold=threshold),
             batch_format="pandas",
             batch_size=1,
-            concurrency=(1, 8),
         ).materialize()
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
@@ -640,15 +643,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
         )
         n_tasks = n_chunks * (n_chunks + 1) // 2
         tasks = tasks.repartition(n_tasks)  # one chunk pair per block/task
-        # Actor pool on purpose — see embedding_neardup's chunk-cache
-        # locality note.
+        # Task pool — same measured decision as embedding_neardup's
+        # chunk-pair stage (10.3 s actor pool vs 3.5 s tasks here).
         return tasks.map_batches(
-            CrossChunkJaccard,
-            fn_constructor_kwargs={"chunk_dir": chunk_dir,
-                                   "threshold": threshold, "k": k},
+            stage_task(CrossChunkJaccard, chunk_dir=chunk_dir,
+                       threshold=threshold, k=k),
             batch_format="pandas",
             batch_size=1,
-            concurrency=(1, 8),
         ).materialize()
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)

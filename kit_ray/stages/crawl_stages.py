@@ -51,14 +51,14 @@ from ..synth import USER_AGENT, CorpusConfig
 # Write sink, so the 13 GB image payload goes generator -> parquet
 # within one task instead of taking an extra object-store round trip.
 #
-# Stages whose state is a WORKING CACHE stay actor pools — a bounded
-# pool concentrates tasks on few caches (locality) and teardown frees
-# them: CrossChunkScore/Jaccard's chunk caches, CoPartitionedGate's
-# per-partition policy cache, and the seen-set/politeness authorities
-# (actors proper). That is the north-rule actor-pool pattern where it
-# actually pays; stages whose "state" is just module imports or a
-# small broadcast (robots parse, traversal, fetch, codecs, hashers)
-# run as task pools via stage_task.
+# Actor pools remain where serialized AUTHORITY state demands them —
+# the seen-set shards, politeness token buckets, CoPartitionedGate's
+# per-partition policy cache, the sitemap sink's counters. Working
+# CACHES (chunk LRUs, codec state, compiled policies) measured faster
+# as per-worker task state than as bounded pools at bench scale
+# (locality loss < startup + width cap); the comments at each call
+# site carry the numbers, and every stage class stays pool-compatible
+# if a future scale measurement flips the trade.
 # ---------------------------------------------------------------------------
 
 _WORKER_STAGES: dict = {}

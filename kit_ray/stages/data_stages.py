@@ -3,9 +3,9 @@
 Same pattern as the crawl stages: compile/load once in ``__init__``,
 vectorized work per batch in ``__call__``. Most run as TASK pools via
 ``stage_task`` (construction cached per worker process — their state
-is imports/params); the chunk-cache stages (CrossChunkScore/Jaccard)
-run as bounded actor pools for cache locality. Every class remains
-actor-pool compatible as written.
+is imports/params; the chunk-pair stages' LRU chunk caches measured
+3x faster as per-worker task state than as a bounded actor pool at
+bench scale). Every class remains actor-pool compatible as written.
 """
 
 from __future__ import annotations
